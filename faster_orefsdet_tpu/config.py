@@ -1,0 +1,251 @@
+"""Typed configuration tree for the few-shot ore detector.
+
+Replaces the reference's layered yacs config stack (detectron2 defaults →
+fewx/config/defaults.py in-place extension → fewx/config/config.py get_cfg()
+additions → YAML `_BASE_` inheritance → CLI overrides) with one frozen
+dataclass tree carrying the same effective key set for the live path.
+
+Defaults reproduce the *effective* configuration of the published model
+(configs/fsod/finetune_vovnet.yaml resolved against Base-FSOD-C4.yaml and the
+code defaults; confirmed against the golden eval log config dump,
+log/fsod_finetune_stone_vovnet_25_test_log.txt:20-547).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class VoVNetConfig:
+    """Backbone spec. Reference: detectron2.7z!modeling/backbone/vovnet.py:50-58
+    (V-19-slim-eSE stage spec) and fewx/config/defaults.py:63-73."""
+
+    conv_body: str = "V-19-slim-eSE"
+    out_features: Tuple[str, ...] = ("stage3", "stage4", "stage5")
+    norm: str = "FrozenBN"
+    freeze_at: int = 3  # freeze stem + stage2 + stage3 (vovnet.py:455-469)
+
+
+@dataclass(frozen=True)
+class FPNConfig:
+    """Reference: detectron2.7z!modeling/backbone/fpn.py + finetune_vovnet.yaml:13-15."""
+
+    in_features: Tuple[str, ...] = ("stage3", "stage4", "stage5")
+    out_channels: int = 128
+    fuse_type: str = "sum"
+    top_levels: int = 0  # MODEL.FCOS.TOP_LEVELS: 0 → pure P3-P5
+
+
+@dataclass(frozen=True)
+class CenterNetConfig:
+    """CenterNet proposal generator. Reference: fewx/modeling/fsod/fsod_rpn.py:491-641
+    with effective values from finetune_vovnet.yaml:37-56 over
+    fewx/config/config.py:12-52 defaults."""
+
+    num_classes: int = 1
+    in_features: Tuple[str, ...] = ("p3", "p4", "p5")
+    fpn_strides: Tuple[int, ...] = (8, 16, 32)
+    sizes_of_interest: Tuple[Tuple[int, int], ...] = ((0, 64), (48, 192), (128, 1000000))
+    score_thresh: float = 1e-5  # INFERENCE_TH
+    hm_min_overlap: float = 0.8
+    min_radius: int = 4
+    hm_focal_alpha: float = 0.25
+    hm_focal_beta: float = 4.0
+    loss_gamma: float = 2.0
+    reg_weight: float = 1.0
+    not_norm_reg: bool = True
+    with_agn_hm: bool = True
+    only_proposal: bool = True
+    pos_weight: float = 0.5
+    neg_weight: float = 0.5
+    sigmoid_clamp: float = 1e-4
+    ignore_high_fp: float = 0.85
+    loc_loss_type: str = "giou"
+    more_pos: bool = False
+    more_pos_thresh: float = 0.2
+    more_pos_topk: int = 9
+    not_nms: bool = False
+    pre_nms_topk_train: int = 4000
+    post_nms_topk_train: int = 2000
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_test: int = 256
+    nms_thresh_train: float = 0.9
+    nms_thresh_test: float = 0.6
+    # Head (CenterNet2/centernet/modeling/dense_heads/centernet_head.py:21-121)
+    norm: str = "GN"
+    num_cls_convs: int = 1
+    num_box_convs: int = 1
+    num_share_convs: int = 0
+    prior_prob: float = 0.01
+
+
+@dataclass(frozen=True)
+class ROIConfig:
+    """Cascade ROI heads. Reference: fewx/modeling/fsod/fsod_roi_heads.py:282-520 and
+    modified detectron2.7z!modeling/roi_heads/{roi_heads.py:534-614,cascade_rcnn.py:86-146},
+    effective values from the golden log dump (ROI_* blocks)."""
+
+    in_features: Tuple[str, ...] = ("p3", "p4", "p5")
+    num_classes: int = 1
+    # Cascade: 1 stage in the live config.
+    cascade_ious: Tuple[float, ...] = (0.6,)
+    cascade_bbox_reg_weights: Tuple[Tuple[float, float, float, float], ...] = (
+        (10.0, 10.0, 5.0, 5.0),
+    )
+    pooler_resolution: int = 8
+    pooler_resolution2: int = 4
+    pooler_sampling_ratio: int = 2  # static; reference uses adaptive (=0), see ops/roi_align.py
+    canonical_box_size: int = 224
+    canonical_level: int = 4
+    batch_size_per_image: int = 128
+    positive_fraction: float = 0.5
+    proposal_append_gt: bool = True
+    fc_dim: int = 128  # fc1: 8192 -> 128 (log :741)
+    score_thresh_test: float = 0.0
+    nms_thresh_test: float = 0.9
+    detections_per_image: int = 100
+    mult_proposal_score: bool = False
+    # Effectively OFF at eval: the second _forward_box definition
+    # (fsod_roi_heads.py:404) overrides the first (:316) and never multiplies.
+    cls_agnostic_bbox_reg: bool = True
+    smooth_l1_beta: float = 0.0
+
+
+@dataclass(frozen=True)
+class FewShotConfig:
+    """INPUT.FS.* — fewx/config/defaults.py:13-16 + finetune_vovnet.yaml:62-65."""
+
+    few_shot: bool = False
+    support_way: int = 1
+    support_shot: int = 24
+    support_crop_size: int = 240  # dataset_mapper.py:209
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    """INPUT.* — Base-FSOD-C4.yaml + finetune_vovnet.yaml:66-71."""
+
+    min_size_train: Tuple[int, ...] = (200, 240, 280, 320, 360, 400, 440)
+    max_size_train: int = 1000
+    min_size_test: int = 320
+    max_size_test: int = 1000
+    format: str = "BGR"
+    # detectron2 ImageNet BGR pixel stats (detectron2.7z!config/defaults.py)
+    pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    size_divisibility: int = 32
+    random_flip: bool = True
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """SOLVER.* — finetune_vovnet.yaml:57-61 + fewx/solver/build.py:93-167."""
+
+    ims_per_batch: int = 1
+    base_lr: float = 0.001
+    momentum: float = 0.9
+    nesterov: bool = False
+    weight_decay: float = 1e-4
+    weight_decay_norm: float = 0.0
+    bias_lr_factor: float = 1.0
+    head_lr_factor: float = 1.0
+    steps: Tuple[int, ...] = (10000, 11000)
+    gamma: float = 0.1
+    max_iter: int = 12000
+    warmup_iters: int = 500
+    warmup_factor: float = 0.00025
+    checkpoint_period: int = 100
+    clip_gradients: bool = True
+    clip_type: str = "value"  # d2 default CLIP_TYPE "value"
+    clip_value: float = 1.0
+
+
+@dataclass(frozen=True)
+class StaticShapeConfig:
+    """TPU-specific static-shape budget (no reference analog; replaces dynamic
+    candidate counts with masked fixed-K tensors, SURVEY.md §7 hard parts)."""
+
+    max_gt_per_image: int = 100
+    # Per-level candidate cap before cross-level concat (test path).
+    level_pre_nms_topk: int = 1000
+    train_canvas: Tuple[int, ...] = (448,)  # square train canvas buckets
+    test_canvas: Tuple[int, int] = (320, 448)  # (short, long) padded canvas
+
+
+@dataclass(frozen=True)
+class Config:
+    model_name: str = "CenterNet2Detector"
+    vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
+    fpn: FPNConfig = field(default_factory=FPNConfig)
+    centernet: CenterNetConfig = field(default_factory=CenterNetConfig)
+    roi: ROIConfig = field(default_factory=ROIConfig)
+    fs: FewShotConfig = field(default_factory=FewShotConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    static: StaticShapeConfig = field(default_factory=StaticShapeConfig)
+    train_dataset: str = "coco_2017_train_stone"
+    test_dataset: str = "coco_2017_val_stone"
+    output_dir: str = "./output/fsod/vovnet_25shot"
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def finetune_vovnet_25shot() -> Config:
+    """The published model configuration (configs/fsod/finetune_vovnet.yaml)."""
+    return Config()
+
+
+def finetune_vovnet_kshot(shot: int) -> Config:
+    cfg = Config()
+    return cfg.replace(fs=dataclasses.replace(cfg.fs, support_shot=shot))
+
+
+_NAMED_CONFIGS = {
+    "finetune_vovnet": finetune_vovnet_25shot,
+    "finetune_vovnet_25shot": finetune_vovnet_25shot,
+    "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
+    "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),
+}
+
+
+def get_config(name: str = "finetune_vovnet") -> Config:
+    try:
+        return _NAMED_CONFIGS[name]()
+    except KeyError:
+        raise KeyError(f"unknown config '{name}'; have {sorted(_NAMED_CONFIGS)}")
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """CLI `key=value` overrides with dotted paths, e.g. `fs.support_shot=5`.
+
+    Replaces the reference's `--opts KEY VALUE` mechanism (fsod_train_net.py:81-83).
+    """
+    import ast
+
+    def set_path(obj: Any, path: Sequence[str], value: Any) -> Any:
+        name = path[0]
+        if not hasattr(obj, name):
+            raise KeyError(f"config has no field {'.'.join(path)}")
+        if len(path) == 1:
+            cur = getattr(obj, name)
+            if cur is not None and not isinstance(value, type(cur)):
+                if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+                    value = tuple(value)
+                elif isinstance(cur, float) and isinstance(value, int):
+                    value = float(value)
+            return dataclasses.replace(obj, **{name: value})
+        return dataclasses.replace(obj, **{name: set_path(getattr(obj, name), path[1:], value)})
+
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        cfg = set_path(cfg, key.strip().split("."), value)
+    return cfg

@@ -1,0 +1,133 @@
+"""ROIAlign (v2, aligned=True) as separable bilinear matmuls.
+
+TPU-native replacement for torchvision's CUDA roi_align kernel used by
+detectron2's ROIPooler (detectron2.7z!layers/roi_align.py:3,
+detectron2.7z!modeling/poolers.py). The live model pools 8x8 and 4x4 regions
+from P3-P5 with ROIAlignV2 (aligned=True, sampling_ratio=0; golden log
+:717-731).
+
+Key insight: bilinear interpolation is separable, and ROIAlign's per-bin
+average over an SxS sample grid preserves separability. For one box we build
+two small interpolation matrices A_y [P, H] and A_x [P, W] (each row: the mean
+of S bilinear hat-function rows) and compute
+
+    out[p, q, c] = sum_{h,w} A_y[p, h] * feat[h, w, c] * A_x[q, w]
+
+i.e. two matmuls that map straight onto the MXU, vmapped over boxes. This is
+bit-exact w.r.t. the CUDA kernel for a *static* sampling ratio.
+
+Divergence note (documented, SURVEY.md §7 "hard parts"): the reference uses
+sampling_ratio=0 = adaptive ceil(roi_size/out_size) samples per bin, which is
+data-dependent and unrepresentable under XLA static shapes. We default to a
+static sampling_ratio=2 (the common detectron2 setting); max abs deviation is
+small for the ~8-64 px rois this model sees and can be tightened by raising
+the static ratio.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import area
+
+
+def _interp_matrix(start, size, axis_len: int, out_size: int, sampling_ratio: int):
+    """Mean-of-samples bilinear weight matrix for one axis of one roi.
+
+    start: scalar roi start (already scaled + aligned-offset), traced
+    size:  scalar roi extent, traced
+    Returns [out_size, axis_len] weights.
+    """
+    s = sampling_ratio
+    bin_size = size / out_size
+    # sample coordinates: for output bin p, samples iy=0..s-1 at
+    # start + (p + (iy+.5)/s) * bin_size   (torchvision roi_align sampling)
+    p = jnp.arange(out_size, dtype=jnp.float32)[:, None]  # [P,1]
+    iy = (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s  # [1,S]
+    y = start + (p + iy) * bin_size  # [P,S]
+    # torchvision bilinear_interpolate: zero outside [-1, axis_len]; clamp to
+    # [0, axis_len-1]; hat weights over integer grid points.
+    inrange = (y >= -1.0) & (y <= axis_len)
+    yc = jnp.clip(y, 0.0, axis_len - 1.0)
+    h = jnp.arange(axis_len, dtype=jnp.float32)[None, None, :]  # [1,1,H]
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - h))  # [P,S,H]
+    hat = jnp.where(inrange[..., None], hat, 0.0)
+    return hat.mean(axis=1)  # [P,H]
+
+
+def roi_align(
+    feature: jnp.ndarray,
+    boxes: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign v2 over a single feature level.
+
+    feature: [H, W, C]; boxes: [R, 4] xyxy in image coords; returns [R, P, P, C].
+    """
+    hh, ww = feature.shape[0], feature.shape[1]
+
+    def one_box(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        # aligned=True: half-pixel offset after scaling
+        sx = x1 * spatial_scale - 0.5
+        sy = y1 * spatial_scale - 0.5
+        ex = x2 * spatial_scale - 0.5
+        ey = y2 * spatial_scale - 0.5
+        w = jnp.maximum(ex - sx, 1e-6)
+        h = jnp.maximum(ey - sy, 1e-6)
+        ay = _interp_matrix(sy, h, hh, output_size, sampling_ratio)  # [P,H]
+        ax = _interp_matrix(sx, w, ww, output_size, sampling_ratio)  # [P,W]
+        t = jnp.einsum("ph,hwc->pwc", ay, feature, preferred_element_type=jnp.float32)
+        return jnp.einsum("qw,pwc->pqc", ax, t, preferred_element_type=jnp.float32)
+
+    return jax.vmap(one_box)(boxes.astype(jnp.float32))
+
+
+def assign_levels(
+    boxes: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN paper eqn. (1) level assignment (detectron2.7z!modeling/poolers.py:22-57)."""
+    sizes = jnp.sqrt(jnp.maximum(area(boxes), 0.0))
+    lvl = jnp.floor(canonical_level + jnp.log2(sizes / canonical_box_size + 1e-8))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """ROIPooler: route each box to its pyramid level and align-pool there.
+
+    features: list of [H_l, W_l, C]; boxes [R,4]; returns [R, P, P, C].
+
+    XLA-native strategy: pool every box at every level (cheap — level maps
+    shrink 4x per step) and select by the level assignment mask. Avoids
+    dynamic partitioning entirely.
+    """
+    import math
+
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    lvl = assign_levels(boxes, min_level, max_level, canonical_box_size, canonical_level)
+
+    out = None
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        pooled = roi_align(feat, boxes, 1.0 / stride, output_size, sampling_ratio)
+        mask = (lvl == (min_level + i)).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * mask if out is None else out + pooled * mask
+    return out

@@ -1,0 +1,25 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding tests
+run anywhere (the JAX-native substitute for the reference's real-process-only
+multi-GPU testing — see SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax at interpreter startup, latching
+# JAX_PLATFORMS=axon before this file runs — override via the config API.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
