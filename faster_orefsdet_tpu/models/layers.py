@@ -1,0 +1,106 @@
+"""Shared NN building blocks (Flax linen, NHWC layout).
+
+TPU-native equivalents of the detectron2 layer zoo actually exercised by the
+live model: FrozenBatchNorm2d (folded to affine), GroupNorm, ceil-mode max
+pool, nearest x2 upsampling, hard sigmoid. All convs run channel-last with
+HWIO kernels — the natural TPU layout (lane dim = channels).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """FrozenBatchNorm2d (detectron2.7z!layers/batch_norm.py) folded to a
+    per-channel affine y = x * scale + bias.
+
+    The reference freezes BN everywhere on the live path (VOVNET.NORM =
+    "FrozenBN", golden log model dump). Folding (scale = w/sqrt(var+eps),
+    bias = b - mean*scale) happens at weight-conversion time; fresh
+    initialization is identity. Parameters are excluded from optimization by
+    the solver's frozen-mask (solver.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+def hsigmoid(x):
+    """Hsigmoid: relu6(x + 3) / 6 (vovnet.py:238-244)."""
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+class ConvNorm(nn.Module):
+    """conv (no bias) + FrozenBN [+ relu] — the VoVNet conv3x3/conv1x1 unit
+    (vovnet.py:205-236)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=self.kernel_size // 2,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = FrozenBatchNorm(self.features, name="norm")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_ceil(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
+    """MaxPool2d(kernel=3, stride=2, ceil_mode=True) (vovnet.py:350).
+
+    torch ceil mode: out = ceil((H - window)/stride) + 1; emulated by padding
+    bottom/right with -inf before a VALID-window reduce."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def pad_amount(size):
+        out = -(-(size - window) // stride) + 1
+        return max(0, (out - 1) * stride + window - size)
+
+    ph, pw = pad_amount(h), pad_amount(w)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    x = jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 3) + [(0, ph), (0, pw), (0, 0)],
+        constant_values=neg,
+    )
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """F.interpolate(scale_factor=2, mode='nearest') (fpn.py:139)."""
+    x = jnp.repeat(x, 2, axis=-3)
+    x = jnp.repeat(x, 2, axis=-2)
+    return x
+
+
+class Scale(nn.Module):
+    """Learned scalar multiplier (centernet_head.py:13-19)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.constant(self.init_value), (1,))
+        return x * s
+
+
+def group_norm(x, num_groups: int = 32, name: str = "gn"):
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name)(x)

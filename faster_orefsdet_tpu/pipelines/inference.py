@@ -1,0 +1,119 @@
+"""The jitted end-to-end query path: one XLA program per image (or batch).
+
+Replaces the reference inference flow (fsod_cen.py:417-534 → fsod_rpn.py
+inference :1068-1210 → fsod_roi_heads eval :437-457 → detector_postprocess)
+which hops between python loops, Instances objects and two NMS passes. Here
+backbone → CGM correlation vs the support cache → CenterNet decode+NMS →
+cascade ROI → final NMS all trace into a single compiled graph with no host
+sync — the main lever for the ≥10x-over-50FPS target (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models.cascade_roi import roi_inference
+from ..models.centernet import decode_proposals
+from ..models.detector import CenterNet2Detector, support_kernels
+from ..structures.boxes import apply_deltas
+from ..structures.instances import Detections
+from .support_cache import SupportCache
+
+
+def make_detector(cfg: Config) -> CenterNet2Detector:
+    return CenterNet2Detector(cfg)
+
+
+def query_path_single(
+    model: CenterNet2Detector,
+    params,
+    cache: SupportCache,
+    image: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    cfg: Config,
+) -> Detections:
+    """One query image [Hc, Wc, 3] (normalized, padded canvas) → Detections.
+
+    image_hw: [2] true resized size (h, w) before canvas padding; detections
+    are in resized-image coordinates (caller rescales to the original frame,
+    mirroring detector_postprocess, fsod_cen.py:557-571).
+    """
+    canvas_hw = (image.shape[0], image.shape[1])
+    variables = {"params": params}
+
+    feats = model.apply(variables, image[None], method=model.features)
+    feats = {k: v[0] for k, v in feats.items()}
+
+    kernels = {
+        "p3": support_kernels(cache.p3),
+        "p4": support_kernels(cache.p4),
+        "p5": support_kernels(cache.p5),
+    }
+    pos_feats = model.apply(
+        variables, {k: v[None] for k, v in feats.items()}, kernels,
+        method=model.correlate,
+    )
+    pos_feats = {k: v[0] for k, v in pos_feats.items()}
+
+    agn_hms, bbox_regs = model.apply(
+        variables, {k: v[None] for k, v in pos_feats.items()},
+        method=model.proposal_head,
+    )
+    agn_hms = [h[0] for h in agn_hms]
+    bbox_regs = [r[0] for r in bbox_regs]
+
+    proposals = decode_proposals(
+        agn_hms, bbox_regs, cfg.centernet, canvas_hw, image_hw, training=False
+    )
+
+    # cascade (1 stage live); stage k>0 would re-pool on decoded boxes
+    feat_list = [feats[l] for l in ("p3", "p4", "p5")]
+    stage_outputs = []
+    boxes = proposals.boxes
+    for stage in range(len(cfg.roi.cascade_ious)):
+        out = model.apply(
+            variables, feat_list, boxes, cache.rcnn_8, cache.rcnn_4, stage,
+            method=model.roi_stage,
+        )
+        stage_outputs.append(out)
+        boxes = apply_deltas(out.deltas, boxes, cfg.roi.cascade_bbox_reg_weights[stage])
+
+    return roi_inference(stage_outputs, boxes, proposals.valid, image_hw, cfg.roi)
+
+
+def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+    """jit-compiled (params, cache, image, image_hw) → Detections."""
+    model = model or make_detector(cfg)
+
+    @jax.jit
+    def fn(params, cache, image, image_hw):
+        return query_path_single(model, params, cache, image, image_hw, cfg)
+
+    return fn
+
+
+def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+    """jit-compiled (params, cache, images [B,Hc,Wc,3], image_hw [B,2]) →
+    batched Detections — the serving path (vmapped masked NMS, no host loop)."""
+    model = model or make_detector(cfg)
+
+    @jax.jit
+    def fn(params, cache, images, image_hw):
+        return jax.vmap(
+            lambda img, hw: query_path_single(model, params, cache, img, hw, cfg)
+        )(images, image_hw)
+
+    return fn
+
+
+def rescale_detections(det: Detections, scale_hw) -> Detections:
+    """Map resized-frame boxes back to original image coords
+    (detector_postprocess semantics: scale x by w-ratio, y by h-ratio)."""
+    sy, sx = scale_hw
+    boxes = det.boxes * jnp.asarray([sx, sy, sx, sy], det.boxes.dtype)
+    return det._replace(boxes=boxes)
