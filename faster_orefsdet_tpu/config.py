@@ -151,7 +151,7 @@ class SolverConfig:
     weight_decay: float = 1e-4
     weight_decay_norm: float = 0.0
     bias_lr_factor: float = 1.0
-    head_lr_factor: float = 1.0
+    head_lr_factor: float = 2.0  # Base-FSOD-C4.yaml:26 (box_predictor 2x LR)
     steps: Tuple[int, ...] = (10000, 11000)
     gamma: float = 0.1
     max_iter: int = 12000

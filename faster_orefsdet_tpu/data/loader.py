@@ -1,0 +1,111 @@
+"""Training/eval data loaders producing fixed-shape numpy batches.
+
+Replaces d2's worker-process pipeline (build_batch_data_loader, MapDataset,
+TrainingSampler — detectron2.7z!data/) with a simple host iterator: the
+reference's 8-worker torch DataLoader feeds a GPU step; on TPU the jitted
+step dominates and a single-process prefetching iterator keeps up (image
+decode is the only host cost; cv2 is native).
+
+Train: infinite shuffled stream over per-(image,class) records
+(TrainingSampler semantics). Eval: one pass, batch size 1 (the reference's
+inference protocol, fewx/data/build.py:162-203).
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..pipelines.preprocess import resize_shortest_edge_size
+from ..pipelines.train_step import TrainBatch
+from .coco import ImageRecord
+from .mapper import EpisodicMapper, MappedExample
+
+
+def collate(examples: Sequence[MappedExample]) -> TrainBatch:
+    return TrainBatch(
+        images=jnp.asarray(np.stack([e.image for e in examples])),
+        image_hw=jnp.asarray(
+            np.asarray([e.image_hw for e in examples], np.float32)
+        ),
+        gt_boxes=jnp.asarray(np.stack([e.gt_boxes for e in examples])),
+        gt_classes=jnp.asarray(np.stack([e.gt_classes for e in examples])),
+        gt_valid=jnp.asarray(np.stack([e.gt_valid for e in examples])),
+        support_images=jnp.asarray(np.stack([e.support_images for e in examples])),
+        support_boxes=jnp.asarray(np.stack([e.support_boxes for e in examples])),
+    )
+
+
+def train_loader(
+    records: Sequence[ImageRecord],
+    mapper: EpisodicMapper,
+    batch_size: int,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[TrainBatch]:
+    """Infinite shuffled episodic stream with background prefetch."""
+    rng = np.random.default_rng(seed)
+
+    def produce(q: Queue):
+        while True:
+            order = rng.permutation(len(records))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[start : start + batch_size]
+                examples = [mapper(records[i], rng) for i in idx]
+                q.put(collate(examples))
+
+    q: Queue = Queue(maxsize=prefetch)
+    t = threading.Thread(target=produce, args=(q,), daemon=True)
+    t.start()
+    while True:
+        yield q.get()
+
+
+def eval_loader(
+    records: Sequence[ImageRecord],
+    cfg: Config,
+    canvas_hw: Optional[Tuple[int, int]] = None,
+):
+    """One pass over eval records → (record, canvas_image, (newh, neww),
+    scale_hw). Batch 1, matching the reference protocol."""
+    import cv2
+
+    from ..pipelines.preprocess import preprocess_host
+
+    for rec in records:
+        img = cv2.imread(rec.file_name)
+        if img is None:
+            continue
+        if canvas_hw is None:
+            nh, nw = resize_shortest_edge_size(
+                img.shape[0], img.shape[1], cfg.input.min_size_test, cfg.input.max_size_test
+            )
+            chw = (-(-nh // 32) * 32, -(-nw // 32) * 32)
+        else:
+            chw = canvas_hw
+        canvas, (newh, neww), scale = preprocess_host(
+            img,
+            cfg.input.min_size_test,
+            cfg.input.max_size_test,
+            chw,
+            cfg.input.pixel_mean,
+            cfg.input.pixel_std,
+        )
+        yield rec, jnp.asarray(canvas), (newh, neww), scale
+
+
+def eval_canvas(records: Sequence[ImageRecord], cfg: Config) -> Tuple[int, int]:
+    """One canvas covering every eval image at test scale (single jit cache)."""
+    mh = mw = 32
+    for rec in records:
+        nh, nw = resize_shortest_edge_size(
+            rec.height, rec.width, cfg.input.min_size_test, cfg.input.max_size_test
+        )
+        mh, mw = max(mh, nh), max(mw, nw)
+    return (-(-mh // 32) * 32, -(-mw // 32) * 32)

@@ -1,0 +1,191 @@
+"""Episodic dataset mapper: query transforms + K-shot support sampling.
+
+Re-derivation of fewx/data/dataset_mapper.py:22-269 (DatasetMapperWithSupport):
+for each per-(image,class) query record, sample way x shot support crops of
+the query's class — excluding the query image itself and never reusing an
+annotation or image (:211-227) — deterministically seeded by the query's
+first annotation id (pandas sample(random_state=id), :223). Query gets
+multi-scale resize-shortest-edge + random flip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .coco import ImageRecord, SupportEntry
+
+
+class SupportSampler:
+    """Deterministic support sampling over the support index."""
+
+    def __init__(self, entries: Sequence[SupportEntry]):
+        self.entries = list(entries)
+        self.by_class: Dict[int, List[SupportEntry]] = {}
+        for e in self.entries:
+            self.by_class.setdefault(e.category_id, []).append(e)
+        # stable order for determinism
+        for v in self.by_class.values():
+            v.sort(key=lambda e: e.id)
+
+    def classes(self) -> List[int]:
+        return sorted(self.by_class)
+
+    def sample(
+        self,
+        query_class: int,
+        query_image_id: int,
+        used_ann_ids: Sequence[int],
+        way: int,
+        shot: int,
+        seed: int,
+    ) -> List[SupportEntry]:
+        """Sample way*shot entries: `shot` of the query class first (positive
+        way), then `shot` of each other sampled class. Exclusion rules match
+        dataset_mapper.py:211-267: skip the query image, never reuse an
+        annotation id or image id."""
+        rng = np.random.default_rng(seed)
+        used_imgs = {query_image_id}
+        used_ids = set(used_ann_ids)
+        used_classes = {query_class}
+        out: List[SupportEntry] = []
+
+        def draw(cls):
+            pool = [
+                e
+                for e in self.by_class.get(cls, [])
+                if e.image_id not in used_imgs and e.id not in used_ids
+            ]
+            if not pool:
+                # fall back to relaxing the image exclusion (tiny datasets)
+                pool = [e for e in self.by_class.get(cls, []) if e.id not in used_ids]
+            if not pool:
+                pool = self.by_class[cls]
+            e = pool[rng.integers(len(pool))]
+            used_imgs.add(e.image_id)
+            used_ids.add(e.id)
+            return e
+
+        for _ in range(shot):
+            out.append(draw(query_class))
+        for _ in range(way - 1):
+            candidates = [c for c in self.by_class if c not in used_classes]
+            if not candidates:
+                break
+            other = candidates[int(rng.integers(len(candidates)))]
+            used_classes.add(other)
+            for _ in range(shot):
+                out.append(draw(other))
+        return out
+
+
+@dataclasses.dataclass
+class MappedExample:
+    """Fixed-shape numpy tensors for one training example."""
+
+    image: np.ndarray  # [Hc, Wc, 3] normalized
+    image_hw: Tuple[int, int]
+    gt_boxes: np.ndarray  # [N, 4]
+    gt_classes: np.ndarray  # [N]
+    gt_valid: np.ndarray  # [N]
+    support_images: np.ndarray  # [S, hs, ws, 3] normalized padded
+    support_boxes: np.ndarray  # [S, 4]
+    support_classes: np.ndarray  # [S] 0 = positive way (mapper :238,266)
+
+
+class EpisodicMapper:
+    def __init__(self, cfg: Config, sampler: SupportSampler, is_train: bool = True,
+                 canvas_hw: Optional[Tuple[int, int]] = None):
+        self.cfg = cfg
+        self.sampler = sampler
+        self.is_train = is_train
+        inp = cfg.input
+        self.canvas_hw = canvas_hw or (448, 672)
+        cs = cfg.fs.support_crop_size
+        self.support_canvas = (-(-cs // 32) * 32, -(-cs // 32) * 32)  # 240→256
+
+    def __call__(self, record: ImageRecord, rng: np.random.Generator) -> MappedExample:
+        import cv2
+
+        from ..pipelines.preprocess import (
+            normalize,
+            pad_to_canvas,
+            resize_image_host,
+            resize_shortest_edge_size,
+        )
+
+        cfg = self.cfg
+        img = cv2.imread(record.file_name)  # BGR, matching INPUT.FORMAT
+        assert img is not None, record.file_name
+        h, w = img.shape[:2]
+
+        if self.is_train:
+            short = int(rng.choice(cfg.input.min_size_train))
+        else:
+            short = cfg.input.min_size_test
+        max_size = cfg.input.max_size_train if self.is_train else cfg.input.max_size_test
+        newh, neww = resize_shortest_edge_size(h, w, short, max_size)
+        resized = resize_image_host(img, newh, neww)
+
+        boxes = np.asarray([a.bbox for a in record.annotations], np.float32).reshape(-1, 4)
+        boxes = boxes * np.asarray([neww / w, newh / h, neww / w, newh / h], np.float32)
+
+        flip = self.is_train and cfg.input.random_flip and rng.uniform() < 0.5
+        if flip:
+            resized = resized[:, ::-1]
+            x1 = neww - boxes[:, 2]
+            x2 = neww - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+
+        canvas = pad_to_canvas(
+            normalize(resized, cfg.input.pixel_mean, cfg.input.pixel_std), self.canvas_hw
+        )
+
+        n_max = cfg.static.max_gt_per_image
+        gt_boxes = np.zeros((n_max, 4), np.float32)
+        gt_classes = np.zeros((n_max,), np.int32)
+        gt_valid = np.zeros((n_max,), bool)
+        n = min(len(boxes), n_max)
+        gt_boxes[:n] = boxes[:n]
+        gt_valid[:n] = True
+
+        # ---- supports (deterministic per-annotation-id seed, :223)
+        way, shot = cfg.fs.support_way, cfg.fs.support_shot
+        seed = record.annotations[0].id if record.annotations else record.image_id
+        entries = self.sampler.sample(
+            record.annotations[0].category_id if record.annotations else 0,
+            record.image_id,
+            [a.id for a in record.annotations],
+            way,
+            shot,
+            seed,
+        )
+        s = way * shot
+        cs = cfg.fs.support_crop_size
+        sup_imgs = np.zeros((s, *self.support_canvas, 3), np.float32)
+        sup_boxes = np.zeros((s, 4), np.float32)
+        sup_classes = np.zeros((s,), np.int32)
+        for i, e in enumerate(entries[:s]):
+            crop = cv2.imread(e.file_path)
+            assert crop is not None, e.file_path
+            if crop.shape[:2] != (cs, cs):
+                crop = cv2.resize(crop, (cs, cs))
+            sup_imgs[i] = pad_to_canvas(
+                normalize(crop, cfg.input.pixel_mean, cfg.input.pixel_std),
+                self.support_canvas,
+            )
+            sup_boxes[i] = e.support_box
+            sup_classes[i] = 0 if i < shot else 1
+        return MappedExample(
+            image=canvas,
+            image_hw=(newh, neww),
+            gt_boxes=gt_boxes,
+            gt_classes=gt_classes,
+            gt_valid=gt_valid,
+            support_images=sup_imgs,
+            support_boxes=sup_boxes,
+            support_classes=sup_classes,
+        )

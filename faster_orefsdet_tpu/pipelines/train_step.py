@@ -1,0 +1,251 @@
+"""Episodic training step: loss computation + SGD update as one jitted graph.
+
+Re-derivation of the reference train iteration (SimpleTrainer.run_step →
+fsod_cen.forward, SURVEY.md §3.1): per query image, encode its way x shot
+support crops, SM-refine + shot-mean them into CGM kernels, correlate the
+query pyramid, run the CenterNet losses + proposal decode, sample 128 ROIs,
+and run the DSA cascade stage losses.
+
+Deliberate divergences from the reference (documented, SURVEY.md §7):
+  - losses are averaged over the batch; the reference's python loop overwrote
+    the dict so only the LAST item trained when B>1 (fsod_cen.py:279-307; the
+    published runs use B=1, where this is identical);
+  - support shot-mean is per image, not over the whole B*N support set
+    (fsod_roi_heads.py:482 takes mean(0) over all images' supports — again
+    identical at B=1).
+
+Batch layout (all fixed shapes):
+  images          [B, Hc, Wc, 3]   normalized, zero-padded canvas
+  image_hw        [B, 2]           true resized sizes
+  gt_boxes        [B, N, 4]; gt_classes [B, N]; gt_valid [B, N]
+  support_images  [B, S, hs, ws, 3]
+  support_boxes   [B, S, 4]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.cascade_roi import StageOutput, stage_losses, subsample_proposals
+from ..models.centernet import _level_valid_mask, centernet_losses, decode_proposals
+from ..models.detector import CenterNet2Detector, support_kernels
+from ..ops.heatmap import (
+    compute_grids,
+    flat_size_ranges,
+    flat_strides,
+    render_targets,
+)
+from ..ops.roi_align import multilevel_roi_align
+from ..structures.boxes import apply_deltas
+from ..structures.instances import GroundTruth
+
+
+class TrainBatch(NamedTuple):
+    images: jnp.ndarray
+    image_hw: jnp.ndarray
+    gt_boxes: jnp.ndarray
+    gt_classes: jnp.ndarray
+    gt_valid: jnp.ndarray
+    support_images: jnp.ndarray
+    support_boxes: jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def loss_fn(
+    params,
+    batch: TrainBatch,
+    model: CenterNet2Detector,
+    cfg: Config,
+    rng: jax.Array,
+    axis_name: str | None = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    variables = {"params": params}
+    b = batch.images.shape[0]
+    s = batch.support_images.shape[1]
+    canvas_hw = (batch.images.shape[1], batch.images.shape[2])
+    strides = cfg.centernet.fpn_strides
+    levels = ("p3", "p4", "p5")
+    drop_rng, sample_rng = jax.random.split(rng)
+
+    # ---- query + support feature extraction (fsod_cen.py:165,177-178)
+    qfeats = model.apply(variables, batch.images, method=model.features)
+    sup_flat = batch.support_images.reshape(b * s, *batch.support_images.shape[2:])
+    sfeats = model.apply(variables, sup_flat, method=model.features)
+
+    # ---- support ROI pools for the DSA head (:180-183)
+    def pool_all(size):
+        def one(f3, f4, f5, box):
+            return multilevel_roi_align(
+                [f3, f4, f5], box[None], list(strides), size,
+                cfg.roi.pooler_sampling_ratio, cfg.roi.canonical_box_size,
+                cfg.roi.canonical_level,
+            )[0]
+
+        return jax.vmap(one)(
+            sfeats["p3"], sfeats["p4"], sfeats["p5"],
+            batch.support_boxes.reshape(b * s, 4),
+        )
+
+    sup8 = pool_all(cfg.roi.pooler_resolution).reshape(b, s, cfg.roi.pooler_resolution,
+                                                       cfg.roi.pooler_resolution, -1)
+    sup4 = pool_all(cfg.roi.pooler_resolution2).reshape(b, s, cfg.roi.pooler_resolution2,
+                                                        cfg.roi.pooler_resolution2, -1)
+    sup8_mean = jnp.mean(sup8, axis=1)  # [B, 8, 8, C]
+    sup4_mean = jnp.mean(sup4, axis=1)
+
+    # ---- SM refinement + per-image shot-mean kernels (:216-232)
+    refined = model.apply(
+        variables, sfeats, method=model.refine_support,
+        rngs={"dropout": drop_rng}, deterministic=False,
+    )
+    mean_maps = {
+        k: jnp.mean(v.reshape(b, s, *v.shape[1:]), axis=1) for k, v in refined.items()
+    }  # [B, S_l, S_l, C]
+
+    kernels = {k: jax.vmap(support_kernels)(v) for k, v in mean_maps.items()}
+
+    # ---- CGM correlation, batched over B (kernels have a leading B axis)
+    def correlate_one(qf, ks):
+        return model.apply(
+            variables, {k: v[None] for k, v in qf.items()},
+            {k: tuple(t for t in ks[k]) for k in levels}, method=model.correlate,
+        )
+
+    pos_feats = jax.vmap(
+        lambda qf3, qf4, qf5, k1, k2, k3: {
+            k: v[0]
+            for k, v in correlate_one(
+                {"p3": qf3, "p4": qf4, "p5": qf5}, {"p3": k1, "p4": k2, "p5": k3}
+            ).items()
+        }
+    )(qfeats["p3"], qfeats["p4"], qfeats["p5"],
+      kernels["p3"], kernels["p4"], kernels["p5"])
+
+    # ---- CenterNet head + losses
+    agn_hms, bbox_regs = model.apply(
+        variables, {k: pos_feats[k] for k in levels}, method=model.proposal_head
+    )
+
+    grids = compute_grids(canvas_hw, strides)
+    strides_m = flat_strides(canvas_hw, strides)
+    size_ranges = flat_size_ranges(canvas_hw, strides, cfg.centernet.sizes_of_interest)
+
+    # single-class path: gt classes forced to 0 (fsod_cen.py:157-159)
+    gt_classes = jnp.zeros_like(batch.gt_classes)
+
+    def per_image_targets(boxes, valid):
+        return render_targets(
+            boxes, valid, grids, strides_m, size_ranges, canvas_hw, strides,
+            cfg.centernet.sizes_of_interest,
+            hm_min_overlap=cfg.centernet.hm_min_overlap,
+            min_radius=cfg.centernet.min_radius,
+        )
+
+    targets = jax.vmap(per_image_targets)(batch.gt_boxes, batch.gt_valid)
+
+    canvas_valid = jax.vmap(
+        lambda hw: _level_valid_mask(canvas_hw, strides, hw)
+    )(batch.image_hw)
+
+    # reference reduce_sum semantics (:719-726): num_pos averaged across the
+    # data-parallel group; under shard_map the axis_name wires in the psum.
+    local_pos = jnp.sum(targets.pos_mask)
+    if axis_name is not None:
+        total_pos = jax.lax.psum(local_pos, axis_name=axis_name)
+        n_rep = jax.lax.psum(1, axis_name=axis_name)
+    else:
+        total_pos, n_rep = local_pos, 1
+    num_pos_avg = jnp.maximum(total_pos / n_rep / b, 1.0)
+
+    cn_losses = jax.vmap(
+        lambda h3, h4, h5, r3, r4, r5, tgt, cval: centernet_losses(
+            [h3, h4, h5], [r3, r4, r5], tgt, cfg.centernet, cval,
+            num_pos_avg=num_pos_avg,
+        )
+    )(agn_hms[0], agn_hms[1], agn_hms[2], bbox_regs[0], bbox_regs[1], bbox_regs[2],
+      targets, canvas_valid)
+    cn_losses = {k: jnp.mean(v) for k, v in cn_losses.items()}
+
+    # ---- proposals for the ROI stage (no grad through decode, :678-680 runs
+    # under predict_instances' no_grad)
+    def decode_one(h3, h4, h5, r3, r4, r5, hw):
+        return decode_proposals(
+            [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas_hw, hw, training=True
+        )
+
+    proposals = jax.vmap(decode_one)(
+        *[jax.lax.stop_gradient(x) for x in (agn_hms[0], agn_hms[1], agn_hms[2])],
+        *[jax.lax.stop_gradient(x) for x in (bbox_regs[0], bbox_regs[1], bbox_regs[2])],
+        batch.image_hw,
+    )
+
+    # ---- ROI sampling + DSA cascade stage losses
+    sample_rngs = jax.random.split(sample_rng, b)
+
+    def roi_one(rng_i, prop_boxes, prop_valid, gtb, gtc, gtv, f3, f4, f5, s8, s4):
+        gt = GroundTruth(boxes=gtb, classes=gtc, valid=gtv)
+        all_losses = {}
+        boxes, cls_t, box_t, slot_valid = subsample_proposals(
+            rng_i, prop_boxes, prop_valid, gt, cfg.roi
+        )
+        for stage in range(len(cfg.roi.cascade_ious)):
+            out = model.apply(
+                variables, [f3, f4, f5], boxes, s8, s4, stage, method=model.roi_stage
+            )
+            all_losses.update(
+                stage_losses(out, boxes, cls_t, box_t, slot_valid, cfg.roi, stage)
+            )
+            if stage + 1 < len(cfg.roi.cascade_ious):
+                boxes = jax.lax.stop_gradient(
+                    apply_deltas(out.deltas, boxes, cfg.roi.cascade_bbox_reg_weights[stage])
+                )
+                # re-match at the next IoU threshold (cascade_rcnn.py:218-260)
+                from ..models.cascade_roi import match_proposals
+
+                midx, fg = match_proposals(boxes, slot_valid, gt, cfg.roi.cascade_ious[stage + 1])
+                cls_t = jnp.where(fg & slot_valid, gt.classes[midx], cfg.roi.num_classes)
+                box_t = gt.boxes[midx]
+        return all_losses
+
+    roi_losses = jax.vmap(roi_one)(
+        sample_rngs, proposals.boxes, proposals.valid,
+        batch.gt_boxes, gt_classes, batch.gt_valid,
+        qfeats["p3"], qfeats["p4"], qfeats["p5"], sup8_mean, sup4_mean,
+    )
+    roi_losses = {k: jnp.mean(v) for k, v in roi_losses.items()}
+
+    losses = {**cn_losses, **roi_losses}
+    total = sum(losses.values())
+    return total, losses
+
+
+def build_train_step(
+    cfg: Config,
+    model: CenterNet2Detector,
+    tx: optax.GradientTransformation,
+    axis_name: str | None = None,
+):
+    """jit-compiled (state, batch, rng) -> (state, metrics)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, model, cfg, rng, axis_name
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
