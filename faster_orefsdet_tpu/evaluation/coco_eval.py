@@ -32,6 +32,30 @@ AREA_RANGES = {
 MAX_DETS = 100
 
 
+def _load_native():
+    """ctypes handle to native/libcocoeval.so (None if not built)."""
+    import ctypes
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libcocoeval.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(os.path.abspath(path))
+    lib.evaluate_image.restype = None
+    lib.evaluate_image.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
 @dataclass
 class DetResult:
     image_id: int
@@ -81,10 +105,36 @@ def _evaluate_image(
     g_crowd = gt.iscrowd[g_order]
     g_ignore = gt_ignore[g_order]
 
-    ious = _iou_matrix(dt_boxes, g_boxes, g_crowd)
     t_count = len(IOU_THRS)
     d = len(dt_boxes)
     g = len(g_boxes)
+
+    if _NATIVE is not None:
+        import ctypes
+
+        db = np.ascontiguousarray(dt_boxes, np.float64)
+        gb = np.ascontiguousarray(g_boxes, np.float64)
+        gc = np.ascontiguousarray(g_crowd, np.uint8)
+        gi = np.ascontiguousarray(g_ignore, np.uint8)
+        th = np.ascontiguousarray(IOU_THRS, np.float64)
+        matched = np.zeros((t_count, d), np.uint8)
+        ignored = np.zeros((t_count, d), np.uint8)
+
+        def _p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        _NATIVE.evaluate_image(
+            _p(db, ctypes.c_double), d,
+            _p(gb, ctypes.c_double), g,
+            _p(gc, ctypes.c_uint8), _p(gi, ctypes.c_uint8),
+            _p(th, ctypes.c_double), t_count,
+            float(area_rng[0]), float(area_rng[1]),
+            _p(matched, ctypes.c_uint8), _p(ignored, ctypes.c_uint8),
+        )
+        num_gt = int(np.sum(~g_ignore))
+        return dt_scores, matched.astype(bool), ignored.astype(bool), num_gt
+
+    ious = _iou_matrix(dt_boxes, g_boxes, g_crowd)
     dtm = np.zeros((t_count, d), dtype=np.int64)  # 0 = unmatched, else 1+gind
     dt_ig = np.zeros((t_count, d), dtype=bool)
     gtm = np.zeros((t_count, g), dtype=bool)

@@ -1,0 +1,35 @@
+"""Device mesh construction for data-parallel training/eval.
+
+The reference's only parallelism is single-program multi-GPU DDP over NCCL
+(detectron2.7z!engine/launch.py:27-125, create_ddp_model defaults.py:60-80;
+SURVEY.md §2.5). On TPU that maps to a 1-D `jax.sharding.Mesh` over all
+chips with XLA collectives on ICI — no process spawning, no backend
+component. Multi-host extends the same mesh across DCN via
+jax.distributed.initialize (call `init_distributed` once per host before
+device queries)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (replaces dist.init_process_group('NCCL'),
+    launch.py:94-109). No-op for single-host runs."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)

@@ -1,0 +1,102 @@
+"""End-to-end evaluation: support cache → per-image inference → COCO AP.
+
+The reference protocol (SURVEY.md §3.2): `--eval-only` builds the support
+cache from the K-shot support set (first invocation) then runs batch-1
+inference over the val split and reports the COCO AP table plus pure-compute
+latency (log :806-845). This module reproduces that flow in one invocation
+and also reports the timing telemetry the log records.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.coco import ImageRecord, SupportEntry
+from ..data.loader import eval_canvas, eval_loader
+from ..evaluation import COCOEvaluator
+from ..models.detector import CenterNet2Detector
+from ..pipelines.inference import build_inference_fn
+from ..pipelines.preprocess import normalize, pad_to_canvas
+from .support_cache import SupportCache, build_support_cache
+
+
+def encode_support_set(
+    model: CenterNet2Detector,
+    params,
+    entries: Sequence[SupportEntry],
+    cfg: Config,
+    shot: Optional[int] = None,
+) -> SupportCache:
+    """Build the cache from the first `shot` entries of the (single) class —
+    init_model caps rows at SUPPORT_SHOT (fsod_cen.py:336-345)."""
+    import cv2
+
+    shot = shot or cfg.fs.support_shot
+    cs = cfg.fs.support_crop_size
+    canvas = (-(-cs // 32) * 32, -(-cs // 32) * 32)
+    imgs, boxes = [], []
+    for e in entries[:shot]:
+        crop = cv2.imread(e.file_path)
+        assert crop is not None, e.file_path
+        if crop.shape[:2] != (cs, cs):
+            crop = cv2.resize(crop, (cs, cs))
+        imgs.append(
+            pad_to_canvas(normalize(crop, cfg.input.pixel_mean, cfg.input.pixel_std), canvas)
+        )
+        boxes.append(e.support_box)
+    return build_support_cache(
+        model,
+        params,
+        jnp.asarray(np.stack(imgs)),
+        jnp.asarray(np.asarray(boxes, np.float32)),
+        cfg,
+    )
+
+
+def evaluate(
+    model: CenterNet2Detector,
+    params,
+    cache: SupportCache,
+    records: Sequence[ImageRecord],
+    cfg: Config,
+    canvas_hw: Optional[Tuple[int, int]] = None,
+) -> Dict[str, float]:
+    """Run the eval loop; returns the AP table + timing stats."""
+    canvas_hw = canvas_hw or eval_canvas(records, cfg)
+    infer = build_inference_fn(cfg, model)
+    evaluator = COCOEvaluator()
+
+    compute_times: List[float] = []
+    n = 0
+    for rec, canvas, (newh, neww), scale in eval_loader(records, cfg, canvas_hw):
+        t0 = time.perf_counter()
+        det = infer(params, cache, canvas, jnp.asarray([float(newh), float(neww)]))
+        det.boxes.block_until_ready()
+        dt = time.perf_counter() - t0
+        if n > 0:  # skip compile
+            compute_times.append(dt)
+        n += 1
+
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        valid = np.asarray(det.valid)
+        sy, sx = scale
+        boxes = boxes[valid] * np.asarray([sx, sy, sx, sy])
+        evaluator.process(rec.image_id, boxes, scores[valid])
+        gt_boxes = np.asarray([a.bbox for a in rec.annotations], float).reshape(-1, 4)
+        iscrowd = np.asarray([a.iscrowd for a in rec.annotations], bool)
+        evaluator.add_ground_truth(rec.image_id, gt_boxes, iscrowd)
+
+    results = evaluator.evaluate()
+    if compute_times:
+        results["latency_p50_s"] = float(np.percentile(compute_times, 50))
+        results["latency_mean_s"] = float(np.mean(compute_times))
+        results["fps"] = 1.0 / results["latency_mean_s"]
+    return results

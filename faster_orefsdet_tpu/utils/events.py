@@ -1,0 +1,49 @@
+"""Metric logging: scalar events to terminal + metrics.jsonl.
+
+Replaces d2 EventStorage/PeriodicWriter/CommonMetricPrinter
+(detectron2.7z!utils/events.py; writers wired engine/defaults.py:466-493):
+scalars accumulate per step and flush as one JSON line every `period` steps,
+mirroring the reference's metrics.json format."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class EventLogger:
+    def __init__(self, output_dir: str, period: int = 20, printer=print):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self.period = period
+        self.printer = printer
+        self._buffer: Dict[str, list] = defaultdict(list)
+        self._last_time = time.perf_counter()
+
+    def log(self, step: int, scalars: Dict[str, float]) -> None:
+        for k, v in scalars.items():
+            self._buffer[k].append(float(v))
+        if step % self.period == 0 and step > 0:
+            self.flush(step)
+
+    def flush(self, step: int) -> None:
+        if not self._buffer:
+            return
+        now = time.perf_counter()
+        means = {k: sum(v) / len(v) for k, v in self._buffer.items()}
+        n = max(len(v) for v in self._buffer.values())
+        means["iteration"] = step
+        means["time_per_iter"] = (now - self._last_time) / max(n, 1)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(means) + "\n")
+        loss_str = "  ".join(
+            f"{k}: {v:.4g}" for k, v in sorted(means.items()) if k.startswith("loss") or k == "total_loss"
+        )
+        self.printer(
+            f"iter {step}  {loss_str}  ({means['time_per_iter']:.3f} s/it)"
+        )
+        self._buffer.clear()
+        self._last_time = now
