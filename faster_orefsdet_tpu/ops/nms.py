@@ -18,18 +18,14 @@ import jax.numpy as jnp
 from ..structures.boxes import pairwise_iou
 
 
-def nms_mask(
+def nms_mask_sequential(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
 ) -> jnp.ndarray:
-    """Greedy NMS. boxes [K,4], scores [K], valid [K] -> keep mask [K].
-
-    Exactly reproduces torchvision nms semantics: process candidates in
-    descending score order; a candidate is kept iff not suppressed by any
-    previously kept box with IoU > threshold (strict >).
-    """
+    """Reference greedy NMS via a K-step sequential loop (used as the
+    cross-check oracle for the fixpoint implementation below)."""
     k = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
@@ -52,6 +48,55 @@ def nms_mask(
     # scatter back to original order
     keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
     return keep
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Greedy NMS. boxes [K,4], scores [K], valid [K] -> keep mask [K].
+
+    Exactly reproduces torchvision nms semantics (descending-score greedy
+    suppression, strict > threshold) but runs in O(D) rounds of K-wide
+    vector ops, where D is the depth of the suppression DAG (typically ≤ ~10)
+    — instead of K sequential steps. Peeling fixpoint:
+
+      round: every undecided box with no higher-scored kept-or-undecided
+      overlapper is KEPT; every undecided box overlapped by a kept box is
+      REMOVED. Each round settles at least one suppression layer, so the
+      while_loop exits after D rounds (dynamic condition — allowed in XLA).
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
+    sboxes = boxes[order]
+    svalid = valid[order]
+    iou = pairwise_iou(sboxes, sboxes)
+    # E[i, j]: higher-scored i suppresses j (strict upper triangle in sorted order)
+    tri = jnp.triu(jnp.ones((k, k), dtype=bool), 1)
+    e = (iou > iou_threshold) & tri & svalid[:, None] & svalid[None, :]
+    ef = e.astype(jnp.float32)
+
+    def cond(state):
+        kept, removed, undecided = state
+        return jnp.any(undecided)
+
+    def body(state):
+        kept, removed, undecided = state
+        active = (kept | undecided).astype(jnp.float32)
+        blocked = (active @ ef) > 0.0  # j has a live higher-scored overlapper
+        newly_kept = undecided & ~blocked
+        kept2 = kept | newly_kept
+        crushed = (kept2.astype(jnp.float32) @ ef) > 0.0
+        newly_removed = undecided & crushed
+        return kept2, removed | newly_removed, undecided & ~(newly_kept | newly_removed)
+
+    kept0 = jnp.zeros((k,), dtype=bool)
+    state = (kept0, kept0, svalid)
+    kept, _, _ = jax.lax.while_loop(cond, body, state)
+    return jnp.zeros((k,), dtype=bool).at[order].set(kept)
 
 
 def batched_nms_mask(

@@ -25,8 +25,17 @@ from faster_orefsdet_tpu.utils.torch_convert import convert_torch_checkpoint
 
 
 # ---------------------------------------------------------- synthetic ckpt
-def _rand(shape, g):
-    return torch.from_numpy(g.standard_normal(shape).astype(np.float32) * 0.1)
+def _rand(shape, g, std=None):
+    # conv/linear weights get fan-in scaling so activations stay O(1) through
+    # the deep chain (keeps the f32-accumulation comparison meaningful)
+    if std is None:
+        if len(shape) == 4:
+            std = 1.0 / np.sqrt(shape[1] * shape[2] * shape[3])
+        elif len(shape) == 2:
+            std = 1.0 / np.sqrt(shape[1])
+        else:
+            std = 0.1
+    return torch.from_numpy((g.standard_normal(shape) * std).astype(np.float32))
 
 
 def make_torch_state_dict(seed=0):
@@ -183,8 +192,9 @@ def t_sm_block(x, sd, prefix, seg_dim):
     weight = F.gelu(weight)
     weight = F.linear(weight, sd[f"{prefix}.reweighting.fc2.weight"],
                       sd[f"{prefix}.reweighting.fc2.bias"])
+    # [2, B, C] -> softmax over the 2 branches -> [2, B, 1, 1, C]
     weight = weight.reshape(b, c, 2).permute(2, 0, 1).softmax(0).unsqueeze(2).unsqueeze(2)
-    x = we * weight[0].permute(0, 2, 3, 1) + he * weight[1].permute(0, 2, 3, 1)
+    x = we * weight[0] + he * weight[1]
     return F.linear(x, sd[f"{prefix}.proj.weight"], sd[f"{prefix}.proj.bias"])
 
 
