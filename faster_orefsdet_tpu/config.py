@@ -178,6 +178,10 @@ class StaticShapeConfig:
 @dataclass(frozen=True)
 class Config:
     model_name: str = "CenterNet2Detector"
+    # Computation dtype for the conv/matmul-heavy modules (params stay f32;
+    # box decode, NMS and losses always run f32). "bfloat16" doubles MXU
+    # throughput and halves HBM traffic; default f32 for exact parity tests.
+    compute_dtype: str = "float32"
     vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
     centernet: CenterNetConfig = field(default_factory=CenterNetConfig)

@@ -35,6 +35,7 @@ class CenterNetHead(nn.Module):
     only_proposal: bool = True
     norm_groups: int = 32
     prior_prob: float = 0.01
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -48,7 +49,7 @@ class CenterNetHead(nn.Module):
         # Shared tower/prediction convs: instantiate ONCE, apply per level.
         share_convs = [
             (
-                nn.Conv(self.in_channels, (3, 3), padding=1,
+                nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                         kernel_init=_conv_init(), name=f"share_tower{j}"),
                 nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                              name=f"share_tower{j}_gn"),
@@ -58,7 +59,8 @@ class CenterNetHead(nn.Module):
         box_convs = [
             (
                 nn.Conv(self.in_channels, (3, 3), padding=1, use_bias=True,
-                        kernel_init=_conv_init(), name=f"bbox_tower{j}"),
+                        dtype=self.dtype, kernel_init=_conv_init(),
+                        name=f"bbox_tower{j}"),
                 nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                              name=f"bbox_tower{j}_gn"),
             )

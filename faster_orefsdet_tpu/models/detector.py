@@ -51,24 +51,33 @@ class CenterNet2Detector(nn.Module):
     cfg: Config
 
     def setup(self):
+        import jax.numpy as _jnp
+
+        dtype = None
+        if self.cfg.compute_dtype and self.cfg.compute_dtype != "float32":
+            dtype = _jnp.dtype(self.cfg.compute_dtype)
+        self.compute_dtype = dtype
         self.backbone = VoVNet(
             conv_body=self.cfg.vovnet.conv_body,
             out_features=self.cfg.vovnet.out_features,
+            dtype=dtype,
         )
         self.fpn = FPN(
             in_features=self.cfg.fpn.in_features,
             out_channels=self.cfg.fpn.out_channels,
             fuse_type=self.cfg.fpn.fuse_type,
             top_levels=self.cfg.fpn.top_levels,
+            dtype=dtype,
         )
         c = self.cfg.fpn.out_channels
         self.vip_p3 = SMBlock(c, SM_POOL_SIZES["p3"])
         self.vip_p4 = SMBlock(c, SM_POOL_SIZES["p4"])
         self.vip_p5 = SMBlock(c, SM_POOL_SIZES["p5"])
         # meta-arch conv3 (fsod_cen.py:78) — distinct from the ROI DSA conv3
-        self.cgm_conv3 = nn.Dense(c, name="cgm_conv3")
+        self.cgm_conv3 = nn.Dense(c, dtype=dtype, name="cgm_conv3")
         self.head = CenterNetHead(
             in_channels=c,
+            dtype=dtype,
             num_levels=len(self.cfg.centernet.in_features),
             num_box_convs=self.cfg.centernet.num_box_convs,
             num_share_convs=self.cfg.centernet.num_share_convs,

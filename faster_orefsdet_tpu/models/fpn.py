@@ -8,7 +8,7 @@ for the alt configs (detectron2.7z!modeling/backbone/fpn.py:230-245)."""
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -21,6 +21,7 @@ class FPN(nn.Module):
     out_channels: int = 128
     fuse_type: str = "sum"
     top_levels: int = 0  # 0 = none, 1 = P6 (maxpoolless conv), matching LastLevelP6
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, bottom_up: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -30,7 +31,8 @@ class FPN(nn.Module):
         first_stage = int(self.in_features[0][-1])
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), use_bias=True, name=f"lateral{first_stage + i}")(f)
+            nn.Conv(self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+                    name=f"lateral{first_stage + i}")(f)
             for i, f in enumerate(feats)
         ]
         # top-down accumulation (fpn.py:126-145)
@@ -46,7 +48,7 @@ class FPN(nn.Module):
         out = {}
         for i in range(n):
             out[f"p{first_stage + i}"] = nn.Conv(
-                self.out_channels, (3, 3), padding=1, use_bias=True,
+                self.out_channels, (3, 3), padding=1, use_bias=True, dtype=self.dtype,
                 name=f"output{first_stage + i}",
             )(results[i])
         if self.top_levels >= 1:

@@ -30,7 +30,8 @@ class FrozenBatchNorm(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return x * scale + bias
+        # keep activations in the compute dtype (bf16 path stays bf16)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def hsigmoid(x):
@@ -46,6 +47,7 @@ class ConvNorm(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     relu: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +57,7 @@ class ConvNorm(nn.Module):
             strides=self.stride,
             padding=self.kernel_size // 2,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = FrozenBatchNorm(self.features, name="norm")(x)

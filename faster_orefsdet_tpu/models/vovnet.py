@@ -12,7 +12,7 @@ the optimizer mask in solver.py, not by the module.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -34,11 +34,12 @@ class ESEModule(nn.Module):
     1x1 conv (with bias) → hsigmoid gate."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         g = jnp.mean(x, axis=(-3, -2), keepdims=True)  # [..., 1, 1, C]
-        g = nn.Conv(self.features, (1, 1), use_bias=True, name="fc")(g)
+        g = nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype, name="fc")(g)
         return x * hsigmoid(g)
 
 
@@ -50,17 +51,18 @@ class OSAModule(nn.Module):
     concat_ch: int
     layer_per_block: int
     identity: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         identity_feat = x
         outputs = [x]
         for i in range(self.layer_per_block):
-            x = ConvNorm(self.stage_ch, kernel_size=3, name=f"layer{i}")(x)
+            x = ConvNorm(self.stage_ch, kernel_size=3, dtype=self.dtype, name=f"layer{i}")(x)
             outputs.append(x)
         x = jnp.concatenate(outputs, axis=-1)
-        x = ConvNorm(self.concat_ch, kernel_size=1, name="concat")(x)
-        x = ESEModule(self.concat_ch, name="ese")(x)
+        x = ConvNorm(self.concat_ch, kernel_size=1, dtype=self.dtype, name="concat")(x)
+        x = ESEModule(self.concat_ch, dtype=self.dtype, name="ese")(x)
         if self.identity:
             x = x + identity_feat
         return x
@@ -71,16 +73,19 @@ class VoVNet(nn.Module):
 
     conv_body: str = "V-19-slim-eSE"
     out_features: Tuple[str, ...] = ("stage3", "stage4", "stage5")
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         stem_chs, conv_chs, out_chs, layer_per_block, blocks = VOVNET_STAGE_SPECS[
             self.conv_body
         ]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # stem: stride-2, stride-1, stride-2 3x3 convs (vovnet.py:407-412)
-        x = ConvNorm(stem_chs[0], stride=2, name="stem1")(x)
-        x = ConvNorm(stem_chs[1], stride=1, name="stem2")(x)
-        x = ConvNorm(stem_chs[2], stride=2, name="stem3")(x)
+        x = ConvNorm(stem_chs[0], stride=2, dtype=self.dtype, name="stem1")(x)
+        x = ConvNorm(stem_chs[1], stride=1, dtype=self.dtype, name="stem2")(x)
+        x = ConvNorm(stem_chs[2], stride=2, dtype=self.dtype, name="stem3")(x)
 
         outputs = {}
         if "stem" in self.out_features:
@@ -98,6 +103,7 @@ class VoVNet(nn.Module):
                     out_chs[i],
                     layer_per_block,
                     identity=(b > 0),
+                    dtype=self.dtype,
                     name=f"{name}_block{b}",
                 )(x)
             if name in self.out_features:
