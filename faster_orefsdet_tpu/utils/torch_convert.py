@@ -188,3 +188,37 @@ def load_torch_pth(path: str) -> Dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def convert_torchvision_resnet(state_dict: Dict, depth: int = 50) -> Dict:
+    """torchvision ResNet state_dict → ResNetC4 param tree (stem + res2-res4)
+    plus the detached res5 stage — the tool/convert-torchvision-to-d2.py
+    analog. Use stride_in_1x1=False on the model when loading these weights
+    (torchvision places the stride on the 3x3 conv)."""
+    from ..models.resnet import RESNET_DEPTH_SPECS
+
+    sd = state_dict.get("model", state_dict)
+    blocks = RESNET_DEPTH_SPECS[depth]
+
+    def conv_bn(conv_key, bn_key):
+        return {
+            "conv": {"kernel": _conv(sd, conv_key)},
+            "norm": _frozen_bn(sd, bn_key),
+        }
+
+    tree: Dict = {"stem": conv_bn("conv1", "bn1")}
+    stage_names = ["res2", "res3", "res4", "res5"]
+    for si, layer in enumerate(["layer1", "layer2", "layer3", "layer4"]):
+        stage: Dict = {}
+        for b in range(blocks[si]):
+            p = f"{layer}.{b}"
+            entry = {
+                "conv1": conv_bn(f"{p}.conv1", f"{p}.bn1"),
+                "conv2": conv_bn(f"{p}.conv2", f"{p}.bn2"),
+                "conv3": conv_bn(f"{p}.conv3", f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                entry["shortcut"] = conv_bn(f"{p}.downsample.0", f"{p}.downsample.1")
+            stage[f"block{b}"] = entry
+        tree[stage_names[si]] = stage
+    return _to_jax(tree)
