@@ -178,6 +178,15 @@ class StaticShapeConfig:
 @dataclass(frozen=True)
 class Config:
     model_name: str = "CenterNet2Detector"
+    # Backbone+neck family feeding the CenterNet2 head:
+    #   "vovnet_fpn"  — V-19-slim-eSE + FPN (the published live model)
+    #   "dla_bifpn"   — DLA-34 + BiFPN (finetune_dla.yaml,
+    #                   build_p35_fcos_dla_bifpn_backbone)
+    #   "mnv3_fpn"    — MobileNetV3-small + FPN
+    #                   (build_mobilenetV3small_fpn_backbone)
+    #   "resnet_fpn"  — ResNet-50 + FPN P3-P5 (fpn_p5.py
+    #                   build_p35_resnet_fpn_backbone)
+    backbone_name: str = "vovnet_fpn"
     # Computation dtype for the conv/matmul-heavy modules (params stay f32;
     # box decode, NMS and losses always run f32). "bfloat16" doubles MXU
     # throughput and halves HBM traffic; default f32 for exact parity tests.

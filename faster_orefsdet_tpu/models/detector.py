@@ -57,18 +57,61 @@ class CenterNet2Detector(nn.Module):
         if self.cfg.compute_dtype and self.cfg.compute_dtype != "float32":
             dtype = _jnp.dtype(self.cfg.compute_dtype)
         self.compute_dtype = dtype
-        self.backbone = VoVNet(
-            conv_body=self.cfg.vovnet.conv_body,
-            out_features=self.cfg.vovnet.out_features,
-            dtype=dtype,
-        )
-        self.fpn = FPN(
-            in_features=self.cfg.fpn.in_features,
-            out_channels=self.cfg.fpn.out_channels,
-            fuse_type=self.cfg.fpn.fuse_type,
-            top_levels=self.cfg.fpn.top_levels,
-            dtype=dtype,
-        )
+        name = self.cfg.backbone_name
+        if name == "vovnet_fpn":
+            self.backbone = VoVNet(
+                conv_body=self.cfg.vovnet.conv_body,
+                out_features=self.cfg.vovnet.out_features,
+                dtype=dtype,
+            )
+            self.fpn = FPN(
+                in_features=self.cfg.fpn.in_features,
+                out_channels=self.cfg.fpn.out_channels,
+                fuse_type=self.cfg.fpn.fuse_type,
+                top_levels=self.cfg.fpn.top_levels,
+                dtype=dtype,
+            )
+        elif name == "dla_bifpn":
+            from .bifpn import BiFPN
+            from .dla import DLA
+
+            self.backbone = DLA(num_layers=34, out_features=("dla3", "dla4", "dla5"),
+                                dtype=dtype)
+            ch = DLA.out_channels(34)
+            self.fpn = BiFPN(
+                in_features=("dla3", "dla4", "dla5"),
+                in_channels=(ch["dla3"], ch["dla4"], ch["dla5"]),
+                out_channels=self.cfg.fpn.out_channels,
+                dtype=dtype,
+            )
+        elif name == "mnv3_fpn":
+            from .mobilenet import MobileNetV3Small
+
+            self.backbone = MobileNetV3Small(out_features=("res3", "res4", "res5"),
+                                             dtype=dtype)
+            self.fpn = FPN(
+                in_features=("res3", "res4", "res5"),
+                out_channels=self.cfg.fpn.out_channels,
+                fuse_type=self.cfg.fpn.fuse_type,
+                top_levels=self.cfg.fpn.top_levels,
+                dtype=dtype,
+            )
+        elif name == "resnet_fpn":
+            from .resnet import ResNetC4
+
+            # fpn_p5.build_p35_resnet_fpn_backbone: FPN over res3-res5 → P3-P5
+            self.backbone = ResNetC4(
+                depth=50, out_features=("res3", "res4", "res5"), dtype=dtype
+            )
+            self.fpn = FPN(
+                in_features=("res3", "res4", "res5"),
+                out_channels=self.cfg.fpn.out_channels,
+                fuse_type=self.cfg.fpn.fuse_type,
+                top_levels=self.cfg.fpn.top_levels,
+                dtype=dtype,
+            )
+        else:
+            raise ValueError(f"unknown backbone_name {name!r}")
         c = self.cfg.fpn.out_channels
         self.vip_p3 = SMBlock(c, SM_POOL_SIZES["p3"])
         self.vip_p4 = SMBlock(c, SM_POOL_SIZES["p4"])

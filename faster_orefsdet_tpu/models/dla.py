@@ -1,0 +1,156 @@
+"""DLA (deep layer aggregation) backbone — the finetune_dla.yaml ALT family.
+
+Re-architecture of detectron2.7z!modeling/backbone/dla.py:34-260 (DLA-34:
+levels [1,1,1,2,2,1], channels [16,32,64,128,256,512], BasicBlock): a base
+7x7 conv, two plain conv levels, then four hierarchical Tree stages with
+root-node aggregation. Norm follows the reference's finetune_dla NORM:"BN";
+here BatchNorm is folded to affine (FrozenBN) by default — exact at eval,
+and the published few-shot fine-tunes freeze the backbone anyway
+(FREEZE_AT ≥ 3); trainable-BN support is a documented TODO.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import FrozenBatchNorm
+
+DLA_SPECS = {
+    34: ([1, 1, 1, 2, 2, 1], [16, 32, 64, 128, 256, 512]),
+}
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=self.stride,
+                    padding=self.kernel // 2, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = FrozenBatchNorm(self.features, name="norm")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class BasicBlock(nn.Module):
+    """DLA BasicBlock (dla.py:34-69): two 3x3 convs + residual."""
+
+    features: int
+    stride: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        out = _ConvBN(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = _ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype, name="conv2")(out)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """Aggregation node (dla.py:111-129): 1x1 conv over concatenated children."""
+
+    features: int
+    residual: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, *children):
+        x = jnp.concatenate(children, axis=-1)
+        x = _ConvBN(self.features, 1, 1, relu=False, dtype=self.dtype, name="conv")(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Hierarchical tree stage (dla.py:132-187)."""
+
+    levels: int
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None):
+        children = [] if children is None else list(children)
+        root_dim = self.root_dim or 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+
+        bottom = x
+        if self.stride > 1:
+            bottom = nn.max_pool(x, (self.stride, self.stride),
+                                 strides=(self.stride, self.stride))
+        if self.in_channels != self.out_channels:
+            residual_in = _ConvBN(self.out_channels, 1, 1, relu=False,
+                                  dtype=self.dtype, name="project")(bottom)
+        else:
+            residual_in = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(self.out_channels, self.stride, dtype=self.dtype,
+                            name="tree1")(x, residual_in)
+            x2 = BasicBlock(self.out_channels, 1, dtype=self.dtype, name="tree2")(x1)
+            return Root(self.out_channels, dtype=self.dtype, name="root")(
+                x2, x1, *children
+            )
+        x1 = Tree(self.levels - 1, self.in_channels, self.out_channels,
+                  self.stride, dtype=self.dtype, name="tree1")(x)
+        children.append(x1)
+        return Tree(self.levels - 1, self.out_channels, self.out_channels,
+                    root_dim=root_dim + self.out_channels, dtype=self.dtype,
+                    name="tree2")(x1, children=children)
+
+
+class DLA(nn.Module):
+    """DLA backbone producing {'dla2'..'dla5'} (strides 4..32)."""
+
+    num_layers: int = 34
+    out_features: Tuple[str, ...] = ("dla3", "dla4", "dla5")
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        levels, channels = DLA_SPECS[self.num_layers]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _ConvBN(channels[0], 7, 1, dtype=self.dtype, name="base")(x)
+        # level0: convs at stride 1; level1: stride 2
+        for i in range(levels[0]):
+            x = _ConvBN(channels[0], 3, 1, dtype=self.dtype, name=f"level0_{i}")(x)
+        for i in range(levels[1]):
+            x = _ConvBN(channels[1], 3, 2 if i == 0 else 1, dtype=self.dtype,
+                        name=f"level1_{i}")(x)
+        outputs = {}
+        in_ch = channels[1]
+        for si, (lv, ch) in enumerate(zip(levels[2:], channels[2:]), start=2):
+            x = Tree(lv, in_ch, ch, stride=2, level_root=(si > 2),
+                     dtype=self.dtype, name=f"level{si}")(x)
+            in_ch = ch
+            name = f"dla{si}"
+            if name in self.out_features:
+                outputs[name] = x
+        return outputs
+
+    @staticmethod
+    def out_channels(num_layers: int = 34) -> Dict[str, int]:
+        _, channels = DLA_SPECS[num_layers]
+        return {f"dla{i}": channels[i] for i in range(2, 6)}
+
+    @staticmethod
+    def out_strides() -> Dict[str, int]:
+        return {"dla2": 4, "dla3": 8, "dla4": 16, "dla5": 32}

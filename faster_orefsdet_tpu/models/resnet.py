@@ -119,7 +119,10 @@ class ResNetC4(nn.Module):
 
         outputs = {}
         channels = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
-        for i, name in enumerate(["res2", "res3", "res4"]):
+        stages = ["res2", "res3", "res4"]
+        if "res5" in self.out_features:
+            stages.append("res5")  # full-trunk layout (FPN-style models)
+        for i, name in enumerate(stages):
             bc, oc = channels[i]
             x = ResNetStage(
                 blocks[i], bc, oc, first_stride=1 if i == 0 else 2,
