@@ -29,6 +29,7 @@ class CenterNetHead(nn.Module):
     in_channels: int = 128
     num_levels: int = 3
     num_cls_convs: int = 0  # only_proposal=True → no cls tower
+    num_classes: int = 1
     num_box_convs: int = 1
     num_share_convs: int = 0
     with_agn_hm: bool = True
@@ -47,6 +48,22 @@ class CenterNetHead(nn.Module):
         bias_value = -math.log((1.0 - self.prior_prob) / self.prior_prob)
 
         # Shared tower/prediction convs: instantiate ONCE, apply per level.
+        cls_convs = [
+            (
+                nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
+                        kernel_init=_conv_init(), name=f"cls_tower{j}"),
+                nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                             name=f"cls_tower{j}_gn"),
+            )
+            for j in range(0 if self.only_proposal else self.num_cls_convs)
+        ]
+        cls_logits_conv = None
+        if not self.only_proposal:
+            cls_logits_conv = nn.Conv(
+                self.num_classes, (3, 3), padding=1, use_bias=True,
+                kernel_init=_conv_init(),
+                bias_init=nn.initializers.constant(bias_value), name="cls_logits",
+            )
         share_convs = [
             (
                 nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -80,14 +97,21 @@ class CenterNetHead(nn.Module):
 
         agn_hms: List[jnp.ndarray] = []
         bbox_regs: List[jnp.ndarray] = []
+        clss: List[jnp.ndarray] = []
         for i, feat in enumerate(features):
             x = feat
             for conv, gn in share_convs:
                 x = nn.relu(gn(conv(x)))
+            ct = x
+            for conv, gn in cls_convs:
+                ct = nn.relu(gn(conv(ct)))
             bt = x
             for conv, gn in box_convs:
                 bt = nn.relu(gn(conv(bt)))
             reg = scales[i](bbox_pred(bt))
             bbox_regs.append(nn.relu(reg))
             agn_hms.append(agn_hm_conv(bt) if self.with_agn_hm else None)
-        return agn_hms, bbox_regs
+            clss.append(None if self.only_proposal else cls_logits_conv(ct))
+        if self.only_proposal:
+            return agn_hms, bbox_regs
+        return clss, agn_hms, bbox_regs

@@ -154,3 +154,96 @@ def render_targets(
     pos_inds = jnp.concatenate(pos_list)  # [L*N]
     pos_mask = jnp.concatenate(mask_list)
     return CenterNetTargets(reg_targets, heatmap, pos_inds, pos_mask)
+
+
+def more_pos_inds(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    reg_pred: jnp.ndarray,
+    canvas_hw: Tuple[int, int],
+    strides: Sequence[int],
+    sizes_of_interest: Sequence[Tuple[float, float]],
+    *,
+    more_pos_topk: int = 9,
+    more_pos_thresh: float = 0.2,
+    loc_loss_type: str = "giou",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MORE_POS positive mining (_add_more_pos/_get_c33_inds,
+    fsod_rpn.py:1213-1343): pixels in each object's center-3x3 region whose
+    regression loss is below the per-object kth-smallest (capped at
+    more_pos_thresh) become additional positives.
+
+    gt_boxes [N,4] padded; reg_pred [M,4] (stride units, detached by caller).
+    Returns (pos_inds [N*L*9], pos_mask [N*L*9]).
+    """
+    from .losses import iou_loss_ltrb
+
+    shapes = level_grid_shapes(canvas_hw, strides)
+    level_bases = np.cumsum([0] + [hl * wl for hl, wl in shapes])[:-1]
+    m = reg_pred.shape[0]
+    n = gt_boxes.shape[0]
+    num_l = len(strides)
+    k = 9
+    dx = jnp.asarray([-1, 0, 1, -1, 0, 1, -1, 0, 1])
+    dy = jnp.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1])
+
+    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2.0  # [N]
+    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2.0
+    diag = jnp.sqrt(
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) ** 2
+        + (gt_boxes[:, 3] - gt_boxes[:, 1]) ** 2
+    ) / 2.0
+
+    inds_l, mask_l, regs_l, level_ok_l = [], [], [], []
+    for li, s in enumerate(strides):
+        hl, wl = shapes[li]
+        ix = (cx / s).astype(jnp.int32)  # [N]
+        iy = (cy / s).astype(jnp.int32)
+        gx = ix.astype(jnp.float32) * s + s // 2  # center grid coords (:1285)
+        gy = iy.astype(jnp.float32) * s + s // 2
+        l = (gx - gt_boxes[:, 0]) / s
+        t = (gy - gt_boxes[:, 1]) / s
+        r = (gt_boxes[:, 2] - gx) / s
+        b = (gt_boxes[:, 3] - gy) / s
+        reg = jnp.stack([l, t, r, b], axis=1)  # [N,4] stride units (:1286-1291)
+        lo, hi = sizes_of_interest[li]
+        level_ok = (
+            (jnp.min(reg, axis=1) >= 0) & (diag >= lo) & (diag <= hi) & gt_valid
+        )  # [N] (:1298-1299)
+
+        cix = ix[:, None] + dx[None, :]  # [N,9]
+        ciy = iy[:, None] + dy[None, :]
+        idx = level_bases[li] + ciy * wl + cix
+        inb = (cix >= 0) & (cix < wl) & (ciy >= 0) & (ciy < hl)
+        # shifted regression targets for the 3x3 offsets: l-dx, t-dy, r+dx,
+        # b+dy (transcribes the column edits at :1317-1325)
+        dxf = dx.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        c33 = jnp.stack(
+            [reg[:, None, 0] + dxf[None, :] * -1.0,
+             reg[:, None, 1] + dyf[None, :] * -1.0,
+             reg[:, None, 2] + dxf[None, :],
+             reg[:, None, 3] + dyf[None, :]],
+            axis=2,
+        )  # [N,9,4]
+        ok = inb & (jnp.min(c33, axis=2) >= 0)  # [N,9] (:1326)
+        inds_l.append(jnp.clip(idx, 0, m - 1))
+        mask_l.append(ok)
+        regs_l.append(c33)
+        level_ok_l.append(level_ok)
+
+    inds = jnp.stack(inds_l, axis=1)  # [N,L,9]
+    masks = jnp.stack(mask_l, axis=1)
+    regs = jnp.stack(regs_l, axis=1)  # [N,L,9,4]
+    level_ok = jnp.stack(level_ok_l, axis=1)  # [N,L]
+
+    pred = reg_pred[inds.reshape(-1)].reshape(n, num_l, k, 4)
+    loss = iou_loss_ltrb(pred, jnp.clip(regs, 0.0), None, loss_type=loc_loss_type)
+    loss = jnp.where(masks & gt_valid[:, None, None], loss, INF)
+    # the true center (k=4) gets loss 0 where the level carries the object (:1231)
+    loss = loss.at[:, :, 4].set(jnp.where(level_ok, 0.0, loss[:, :, 4]))
+    flat = loss.reshape(n, num_l * k)
+    kth = jnp.sort(flat, axis=1)[:, min(more_pos_topk, num_l * k) - 1]  # [N]
+    thresh = jnp.minimum(kth, more_pos_thresh)  # (:1236-1238)
+    new_pos = loss < thresh[:, None, None]  # strict < (:1239)
+    return inds.reshape(-1), (new_pos & gt_valid[:, None, None]).reshape(-1)

@@ -154,6 +154,27 @@ def loss_fn(
 
     targets = jax.vmap(per_image_targets)(batch.gt_boxes, batch.gt_valid)
 
+    if cfg.centernet.more_pos:
+        # MORE_POS mining replaces the center positives (fsod_rpn.py:664-669)
+        from ..ops.heatmap import more_pos_inds
+
+        def mine(boxes, valid, r3, r4, r5):
+            reg_flat = jnp.concatenate(
+                [jax.lax.stop_gradient(r).reshape(-1, 4) for r in (r3, r4, r5)]
+            )
+            return more_pos_inds(
+                boxes, valid, reg_flat, canvas_hw, strides,
+                cfg.centernet.sizes_of_interest,
+                more_pos_topk=cfg.centernet.more_pos_topk,
+                more_pos_thresh=cfg.centernet.more_pos_thresh,
+                loc_loss_type=cfg.centernet.loc_loss_type,
+            )
+
+        mp_inds, mp_mask = jax.vmap(mine)(
+            batch.gt_boxes, batch.gt_valid, bbox_regs[0], bbox_regs[1], bbox_regs[2]
+        )
+        targets = targets._replace(pos_inds=mp_inds, pos_mask=mp_mask)
+
     canvas_valid = jax.vmap(
         lambda hw: _level_valid_mask(canvas_hw, strides, hw)
     )(batch.image_hw)
