@@ -187,14 +187,21 @@ def roi_inference(
     prop_valid: jnp.ndarray,
     image_hw,
     cfg: ROIConfig,
+    proposal_scores: jnp.ndarray | None = None,
 ) -> Detections:
     """Cascade score averaging + fast_rcnn_inference
     (fsod_roi_heads.py:437-457, d2 fast_rcnn.py:46-172).
 
     stage_outputs: per-stage predictions on their stage's proposals;
-    final_boxes: boxes decoded from the LAST stage's deltas [K,4]."""
+    final_boxes: boxes decoded from the LAST stage's deltas [K,4].
+    proposal_scores: when cfg.mult_proposal_score, scores are geometric-mean
+    fused with the proposal objectness (sqrt(s*ps), the MULT_PROPOSAL_SCORE
+    branch of the overridden first _forward_box, fsod_roi_heads.py:357-359 —
+    effectively OFF in the published model, see config.ROIConfig)."""
     probs = [jax.nn.softmax(o.scores, axis=-1) for o in stage_outputs]
     scores = sum(probs) / len(probs)  # [K, C+1]
+    if cfg.mult_proposal_score and proposal_scores is not None:
+        scores = jnp.sqrt(jnp.maximum(scores * proposal_scores[:, None], 0.0))
     fg_scores = scores[:, : cfg.num_classes]  # drop background column
 
     boxes = clip_boxes(final_boxes, image_hw)

@@ -1,0 +1,81 @@
+"""Data-parallel evaluation: shard the eval set across the mesh.
+
+The reference's third collective use (SURVEY.md §5): the eval image list is
+split across GPUs and results gather on rank 0 (detectron2.utils.comm via
+fewx COCOEvaluator :130-140). Here the batched query path runs under jit
+with the image batch sharded over the mesh's data axis — XLA partitions the
+program and the host-side gather is just reading the replicated outputs."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..data.coco import ImageRecord
+from ..data.loader import eval_canvas, eval_loader
+from ..evaluation import COCOEvaluator
+from ..models.detector import CenterNet2Detector
+from ..pipelines.inference import build_batched_inference_fn
+from ..pipelines.support_cache import SupportCache
+
+
+def evaluate_sharded(
+    model: CenterNet2Detector,
+    params,
+    cache: SupportCache,
+    records: Sequence[ImageRecord],
+    cfg: Config,
+    mesh: Mesh,
+    canvas_hw: Optional[Tuple[int, int]] = None,
+) -> Dict[str, float]:
+    """COCO AP over `records`, with inference batches sharded over the mesh."""
+    n_dev = mesh.devices.size
+    canvas_hw = canvas_hw or eval_canvas(records, cfg)
+    infer = build_batched_inference_fn(cfg, model)
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+    cache = jax.device_put(cache, rep)
+
+    evaluator = COCOEvaluator()
+    pending: List = []
+
+    def flush():
+        if not pending:
+            return
+        k = len(pending)
+        # pad to a full mesh batch
+        while len(pending) % n_dev:
+            pending.append(pending[-1])
+        imgs = jnp.asarray(np.stack([p[1] for p in pending]))
+        hws = jnp.asarray(
+            np.asarray([[float(p[2][0]), float(p[2][1])] for p in pending], np.float32)
+        )
+        imgs = jax.device_put(imgs, batch_sharding)
+        hws = jax.device_put(hws, batch_sharding)
+        det = infer(params, cache, imgs, hws)
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        valid = np.asarray(det.valid)
+        for i in range(k):
+            rec, _, _, (sy, sx) = pending[i]
+            b = boxes[i][valid[i]] * np.asarray([sx, sy, sx, sy])
+            evaluator.process(rec.image_id, b, scores[i][valid[i]])
+            gt = np.asarray([a.bbox for a in rec.annotations], float).reshape(-1, 4)
+            crowd = np.asarray([a.iscrowd for a in rec.annotations], bool)
+            evaluator.add_ground_truth(rec.image_id, gt, crowd)
+        pending.clear()
+
+    for rec, canvas, hw, scale in eval_loader(records, cfg, canvas_hw):
+        pending.append((rec, np.asarray(canvas), hw, scale))
+        if len(pending) == n_dev:
+            flush()
+    flush()
+    return evaluator.evaluate()

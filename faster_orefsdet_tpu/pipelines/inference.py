@@ -83,7 +83,10 @@ def query_path_single(
         stage_outputs.append(out)
         boxes = apply_deltas(out.deltas, boxes, cfg.roi.cascade_bbox_reg_weights[stage])
 
-    return roi_inference(stage_outputs, boxes, proposals.valid, image_hw, cfg.roi)
+    return roi_inference(
+        stage_outputs, boxes, proposals.valid, image_hw, cfg.roi,
+        proposal_scores=proposals.scores,
+    )
 
 
 def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
