@@ -15,13 +15,23 @@ from typing import Dict, Optional
 
 
 class EventLogger:
-    def __init__(self, output_dir: str, period: int = 20, printer=print):
+    def __init__(self, output_dir: str, period: int = 20, printer=print,
+                 tensorboard: bool = False):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.jsonl")
         self.period = period
         self.printer = printer
         self._buffer: Dict[str, list] = defaultdict(list)
         self._last_time = time.perf_counter()
+        self._tb = None
+        if tensorboard:
+            # TensorboardXWriter analog (d2 engine/defaults.py:469-493)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
+            except Exception as e:  # tensorboard optional
+                self.printer(f"tensorboard unavailable ({e}); jsonl only")
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         for k, v in scalars.items():
@@ -39,6 +49,10 @@ class EventLogger:
         means["time_per_iter"] = (now - self._last_time) / max(n, 1)
         with open(self.path, "a") as f:
             f.write(json.dumps(means) + "\n")
+        if self._tb is not None:
+            for k, v in means.items():
+                if k != "iteration":
+                    self._tb.add_scalar(k, v, step)
         loss_str = "  ".join(
             f"{k}: {v:.4g}" for k, v in sorted(means.items()) if k.startswith("loss") or k == "total_loss"
         )
