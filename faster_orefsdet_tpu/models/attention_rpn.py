@@ -182,6 +182,7 @@ def rpn_predict_proposals(
     wh = boxes[:, 2:] - boxes[:, :2]
     valid = jnp.isfinite(top_scores) & (wh[:, 0] > 0) & (wh[:, 1] > 0)
     keep = nms_mask(boxes, top_scores, valid, nms_thresh)
+    post_nms_topk = min(post_nms_topk, top_scores.shape[0])
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, top_scores, -jnp.inf), post_nms_topk)
     return Proposals(
         boxes=boxes[sel_idx], scores=sel_scores, valid=jnp.isfinite(sel_scores)

@@ -209,7 +209,7 @@ def roi_inference(
     s = fg_scores[:, 0]
     valid = prop_valid & (s > cfg.score_thresh_test)
     keep = nms_mask(boxes, s, valid, cfg.nms_thresh_test)
-    topk = cfg.detections_per_image
+    topk = min(cfg.detections_per_image, s.shape[0])
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, s, -1.0), topk)
     return Detections(
         boxes=boxes[sel_idx],

@@ -112,6 +112,7 @@ def decode_proposals(
         valid = top_scores > 0.0
 
     keep = nms_mask(boxes, scores, valid, nms_th)
+    post_topk = min(post_topk, scores.shape[0])  # small canvases have fewer cells
     keep = keep_top_scores(scores, keep, post_topk)
 
     # Compact to the post-NMS capacity.

@@ -1,0 +1,97 @@
+"""Checkpoint round-trip + async predictor tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_orbax_roundtrip(tmp_path):
+    import optax
+
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.pipelines.train_step import TrainState
+    from faster_orefsdet_tpu.solver import build_optimizer
+    from faster_orefsdet_tpu.utils.checkpoint import (
+        latest_step,
+        resume_or_load,
+        save_checkpoint,
+    )
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet")
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer(cfg.solver, params)
+    state = TrainState(params, tx.init(params), jnp.asarray(7))
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state, 7)
+    assert latest_step(d) == 7
+
+    # fresh template with different values, then restore
+    params2 = jax.tree.map(lambda x: jnp.zeros_like(x), params)
+    blank = TrainState(params2, tx.init(params2), jnp.asarray(0))
+    restored = resume_or_load(d, blank)
+    assert int(restored.step) == 7
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # resume from empty dir is a no-op
+    untouched = resume_or_load(str(tmp_path / "nope"), blank)
+    assert int(untouched.step) == 0
+
+
+def test_npz_roundtrip(tmp_path):
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.utils.checkpoint import load_params_npz, save_params_npz
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet")
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    p = str(tmp_path / "m.npz")
+    save_params_npz(p, params)
+    loaded = load_params_npz(p, params)
+    for x, y in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_predictor_order_and_results():
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.async_predictor import AsyncPredictor
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.pipelines.support_cache import SupportCache
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet")
+    cfg = cfg.replace(
+        centernet=dataclasses.replace(
+            cfg.centernet, pre_nms_topk_test=128, post_nms_topk_test=32
+        ),
+        roi=dataclasses.replace(cfg.roi, detections_per_image=10),
+        input=dataclasses.replace(cfg.input, min_size_test=96, max_size_test=128),
+    )
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    c = cfg.fpn.out_channels
+    cache = SupportCache(
+        p3=jnp.ones((32, 32, c)), p4=jnp.ones((16, 16, c)), p5=jnp.ones((8, 8, c)),
+        rcnn_8=jnp.ones((8, 8, c)), rcnn_4=jnp.ones((4, 4, c)),
+    )
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (100, 130, 3)).astype(np.uint8) for _ in range(5)]
+    pred = AsyncPredictor(cfg, params, cache, model, depth=2,
+                          canvas_hw=(96, 128))
+    outs = list(pred.run(imgs))
+    assert len(outs) == 5
+    for o in outs:
+        assert o["boxes"].shape[1] == 4
+        assert np.isfinite(o["boxes"]).all()
