@@ -97,7 +97,7 @@ class ROIConfig:
     )
     pooler_resolution: int = 8
     pooler_resolution2: int = 4
-    pooler_sampling_ratio: int = 2  # static; reference uses adaptive (=0), see ops/roi_align.py
+    pooler_sampling_ratio: int = 0  # 0 = adaptive (exact ROIAlignV2 semantics, ops/roi_align.py)
     canonical_box_size: int = 224
     canonical_level: int = 4
     batch_size_per_image: int = 128

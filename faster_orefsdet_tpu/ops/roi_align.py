@@ -16,12 +16,15 @@ of S bilinear hat-function rows) and compute
 i.e. two matmuls that map straight onto the MXU, vmapped over boxes. This is
 bit-exact w.r.t. the CUDA kernel for a *static* sampling ratio.
 
-Divergence note (documented, SURVEY.md §7 "hard parts"): the reference uses
-sampling_ratio=0 = adaptive ceil(roi_size/out_size) samples per bin, which is
-data-dependent and unrepresentable under XLA static shapes. We default to a
-static sampling_ratio=2 (the common detectron2 setting); max abs deviation is
-small for the ~8-64 px rois this model sees and can be tightened by raising
-the static ratio.
+sampling_ratio semantics: a positive value uses that fixed SxS sample grid
+per bin (torchvision). sampling_ratio=0 reproduces the reference's ADAPTIVE
+mode — ceil(roi_size/out_size) samples per bin — exactly, despite the
+data-dependent count: samples are laid out on a static S_MAX grid and masked
+to the per-box dynamic count (rows beyond ceil() get zero weight, the mean
+divides by the dynamic count). S_MAX=8 covers boxes up to ~8x the bin size —
+every box the FPN level routing plus the 1000-px input cap can produce;
+larger ratios clamp to S_MAX. The cap costs only weight-matrix construction
+([P,S,H] hats); the pooling matmuls see the same [P,H] matrix regardless.
 """
 
 from __future__ import annotations
@@ -35,20 +38,34 @@ import jax.numpy as jnp
 from ..structures.boxes import area
 
 
+ADAPTIVE_S_MAX = 8
+
+
 def _interp_matrix(start, size, axis_len: int, out_size: int, sampling_ratio: int):
     """Mean-of-samples bilinear weight matrix for one axis of one roi.
 
     start: scalar roi start (already scaled + aligned-offset), traced
     size:  scalar roi extent, traced
+    sampling_ratio: >0 fixed grid; 0 = adaptive ceil(size/out_size) samples
+    (ROIAlignV2's sampling_ratio=0) realized on a masked static S_MAX grid.
     Returns [out_size, axis_len] weights.
     """
-    s = sampling_ratio
     bin_size = size / out_size
-    # sample coordinates: for output bin p, samples iy=0..s-1 at
-    # start + (p + (iy+.5)/s) * bin_size   (torchvision roi_align sampling)
     p = jnp.arange(out_size, dtype=jnp.float32)[:, None]  # [P,1]
-    iy = (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s  # [1,S]
-    y = start + (p + iy) * bin_size  # [P,S]
+    if sampling_ratio > 0:
+        s = sampling_ratio
+        iy = (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s  # [1,S]
+        y = start + (p + iy) * bin_size  # [P,S]
+        sample_w = jnp.full((1, s), 1.0 / s)
+    else:
+        s = ADAPTIVE_S_MAX
+        # dynamic per-roi count: ceil(bin_size), clamped to [1, S_MAX]
+        s_dyn = jnp.clip(jnp.ceil(bin_size), 1.0, float(s))
+        idx = jnp.arange(s, dtype=jnp.float32)[None, :]
+        iy = (idx + 0.5) / s_dyn  # positions for the first s_dyn samples
+        y = start + (p + iy) * bin_size
+        active = idx < s_dyn
+        sample_w = jnp.where(active, 1.0 / s_dyn, 0.0)  # [1,S]
     # torchvision bilinear_interpolate: zero outside [-1, axis_len]; clamp to
     # [0, axis_len-1]; hat weights over integer grid points.
     inrange = (y >= -1.0) & (y <= axis_len)
@@ -56,7 +73,7 @@ def _interp_matrix(start, size, axis_len: int, out_size: int, sampling_ratio: in
     h = jnp.arange(axis_len, dtype=jnp.float32)[None, None, :]  # [1,1,H]
     hat = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - h))  # [P,S,H]
     hat = jnp.where(inrange[..., None], hat, 0.0)
-    return hat.mean(axis=1)  # [P,H]
+    return jnp.sum(hat * sample_w[..., None], axis=1)  # [P,H]
 
 
 def roi_align(

@@ -43,7 +43,7 @@ class BaselineConfig:
     depth: int = 50
     stride: int = 16
     pooler_resolution: int = 14
-    sampling_ratio: int = 2  # static stand-in for ROIAlignV2 adaptive
+    sampling_ratio: int = 0  # adaptive ROIAlignV2 semantics (ops/roi_align.py)
     # RPN (fsod_rpn config + Base-FSOD-C4.yaml:6-8)
     rpn_pre_nms_topk_train: int = 2000  # capped for TPU (ref 12000)
     rpn_post_nms_topk_train: int = 512  # ref 2000; sampled to 128 anyway

@@ -108,7 +108,7 @@ def convert_torch_checkpoint(
     from ..models.vovnet import VOVNET_STAGE_SPECS
 
     sd = state_dict.get("model", state_dict)
-    _, _, _, layer_per_block, blocks = VOVNET_STAGE_SPECS[conv_body]
+    _, _, _, layer_per_block, blocks, _ = VOVNET_STAGE_SPECS[conv_body]
 
     bu = "backbone.bottom_up"
     backbone: Dict = {}

@@ -154,7 +154,10 @@ def test_keep_top_scores_kthvalue_semantics(rng):
 def _roi_align_torch(feat_nchw, boxes, scale, out, ratio):
     """Reference ROIAlignV2 math in torch (torchvision roi_align, aligned=True),
     implemented directly from the kernel definition since torchvision is not
-    installed. feat [C,H,W]; boxes [R,4]."""
+    installed. feat [C,H,W]; boxes [R,4]. ratio=0 → adaptive
+    ceil(roi_size/out) per axis (the CUDA kernel's sampling_ratio<=0 path)."""
+    import math
+
     c, hh, ww = feat_nchw.shape
     r = boxes.shape[0]
     outp = torch.zeros((r, c, out, out))
@@ -164,13 +167,15 @@ def _roi_align_torch(feat_nchw, boxes, scale, out, ratio):
         rh = max(y2 - y1, 1e-6)
         bin_w = rw / out
         bin_h = rh / out
+        ratio_h = ratio if ratio > 0 else max(1, math.ceil(rh / out))
+        ratio_w = ratio if ratio > 0 else max(1, math.ceil(rw / out))
         for ph in range(out):
             for pw in range(out):
                 acc = torch.zeros(c)
-                for iy in range(ratio):
-                    y = y1 + (ph + (iy + 0.5) / ratio) * bin_h
-                    for ix in range(ratio):
-                        x = x1 + (pw + (ix + 0.5) / ratio) * bin_w
+                for iy in range(ratio_h):
+                    y = y1 + (ph + (iy + 0.5) / ratio_h) * bin_h
+                    for ix in range(ratio_w):
+                        x = x1 + (pw + (ix + 0.5) / ratio_w) * bin_w
                         if y < -1.0 or y > hh or x < -1.0 or x > ww:
                             continue
                         yc = min(max(y, 0.0), hh - 1)
@@ -185,11 +190,11 @@ def _roi_align_torch(feat_nchw, boxes, scale, out, ratio):
                             + feat_nchw[:, y1i, x0] * ly * (1 - lx)
                             + feat_nchw[:, y1i, x1i] * ly * lx
                         )
-                outp[bi, :, ph, pw] = acc / (ratio * ratio)
+                outp[bi, :, ph, pw] = acc / (ratio_h * ratio_w)
     return outp
 
 
-@pytest.mark.parametrize("out_size,ratio", [(8, 2), (4, 2), (8, 1)])
+@pytest.mark.parametrize("out_size,ratio", [(8, 2), (4, 2), (8, 1), (8, 0), (4, 0)])
 def test_roi_align_matches_reference(rng, out_size, ratio):
     feat = rng.standard_normal((24, 32, 6), dtype=np.float32)  # HWC
     boxes = np.asarray(
