@@ -346,7 +346,8 @@ def test_dsa_stage_parity(converted):
         {"params": params}, feats, boxes, jnp.asarray(s8), jnp.asarray(s4), 0,
         method=model.roi_stage,
     )
-    q8 = multilevel_roi_align(feats, boxes, [8, 16, 32], 8, 2)
+    q8 = multilevel_roi_align(feats, boxes, [8, 16, 32], 8,
+                              cfg.roi.pooler_sampling_ratio)
     q8_t = torch.from_numpy(np.asarray(q8)).permute(0, 3, 1, 2)
     s8_t = torch.from_numpy(s8).permute(2, 0, 1)[None]
     r_scores, r_deltas = t_dsa_stage(q8_t, s8_t, sd)
