@@ -17,6 +17,13 @@ one HBM read of q, one HBM write of out. Splitting the 2C-wide projection as
 For inputs whose working set would exceed VMEM (HWC f32 > ~3 MB) callers
 should fall back to ops.correlation.cgm_correlate + Dense (the XLA path);
 `cgm_fused_or_fallback` does this automatically.
+
+Measured on TPU v5e at the P3 eval size (40x56x128): 620us/dispatch vs the
+XLA composition's 582us — both dispatch-overhead-dominated at this
+granularity (the full query path runs the same math inside one program at
+~zero marginal cost), so the default inference path keeps the XLA
+composition and this kernel remains the building block for fused serving
+variants.
 """
 
 from __future__ import annotations
