@@ -71,7 +71,11 @@ def query_path_single(
         agn_hms, bbox_regs, cfg.centernet, canvas_hw, image_hw, training=False
     )
 
-    # cascade (1 stage live); stage k>0 would re-pool on decoded boxes
+    # cascade (1 stage live); stage k>0 re-pools on the previous stage's
+    # decoded boxes, clipped to the image (_create_proposals_from_boxes,
+    # cascade_rcnn.py:218-236)
+    from ..structures.boxes import clip_boxes
+
     feat_list = [feats[l] for l in ("p3", "p4", "p5")]
     stage_outputs = []
     boxes = proposals.boxes
@@ -82,6 +86,8 @@ def query_path_single(
         )
         stage_outputs.append(out)
         boxes = apply_deltas(out.deltas, boxes, cfg.roi.cascade_bbox_reg_weights[stage])
+        if stage + 1 < len(cfg.roi.cascade_ious):
+            boxes = clip_boxes(boxes, image_hw)
 
     return roi_inference(
         stage_outputs, boxes, proposals.valid, image_hw, cfg.roi,

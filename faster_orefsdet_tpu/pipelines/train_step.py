@@ -97,12 +97,16 @@ def loss_fn(
             batch.support_boxes.reshape(b * s, 4),
         )
 
+    # shot-mean over the POSITIVE way only (supports are ordered positive-way
+    # first by the mapper; the reference slices pos_begin:pos_end,
+    # fsod_cen.py:208-227 — negative-way shots never enter the means)
+    shot = min(cfg.fs.support_shot, s)
     sup8 = pool_all(cfg.roi.pooler_resolution).reshape(b, s, cfg.roi.pooler_resolution,
                                                        cfg.roi.pooler_resolution, -1)
     sup4 = pool_all(cfg.roi.pooler_resolution2).reshape(b, s, cfg.roi.pooler_resolution2,
                                                         cfg.roi.pooler_resolution2, -1)
-    sup8_mean = jnp.mean(sup8, axis=1)  # [B, 8, 8, C]
-    sup4_mean = jnp.mean(sup4, axis=1)
+    sup8_mean = jnp.mean(sup8[:, :shot], axis=1)  # [B, 8, 8, C]
+    sup4_mean = jnp.mean(sup4[:, :shot], axis=1)
 
     # ---- SM refinement + per-image shot-mean kernels (:216-232)
     refined = model.apply(
@@ -110,8 +114,9 @@ def loss_fn(
         rngs={"dropout": drop_rng}, deterministic=False,
     )
     mean_maps = {
-        k: jnp.mean(v.reshape(b, s, *v.shape[1:]), axis=1) for k, v in refined.items()
-    }  # [B, S_l, S_l, C]
+        k: jnp.mean(v.reshape(b, s, *v.shape[1:])[:, :shot], axis=1)
+        for k, v in refined.items()
+    }  # [B, S_l, S_l, C] — positive-way shots only (:225-227)
 
     kernels = {k: jax.vmap(support_kernels)(v) for k, v in mean_maps.items()}
 
