@@ -96,6 +96,49 @@ def main():
         float(jnp.sum(binfer(params, cache, images, hws).scores))
         extra["batch16_images_per_sec"] = round(nb * batch / (time.perf_counter() - t0), 1)
 
+    if os.environ.get("BENCH_TRAIN") == "1":
+        # episodic fine-tune step throughput (synthetic batch, 5-shot)
+        import jax.numpy as jnp2
+
+        from faster_orefsdet_tpu.pipelines.train_step import (
+            TrainBatch,
+            TrainState,
+            build_train_step,
+        )
+        from faster_orefsdet_tpu.solver import build_optimizer
+
+        b, s, nmax = 1, 5, 20
+        gtb = np.zeros((b, nmax, 4), np.float32)
+        gtb[:, 0] = [20, 20, 120, 100]
+        gtv = np.zeros((b, nmax), bool)
+        gtv[:, 0] = True
+        tb = TrainBatch(
+            images=jnp.asarray(rng.standard_normal((b, 256, 352, 3), dtype=np.float32)),
+            image_hw=jnp.asarray([[240.0, 320.0]] * b),
+            gt_boxes=jnp.asarray(gtb),
+            gt_classes=jnp.zeros((b, nmax), jnp.int32),
+            gt_valid=jnp.asarray(gtv),
+            support_images=jnp.asarray(
+                rng.standard_normal((b, s, 256, 256, 3), dtype=np.float32)
+            ),
+            support_boxes=jnp.asarray(
+                np.tile([[20.0, 20.0, 220.0, 220.0]], (b, s, 1)).astype(np.float32)
+            ),
+        )
+        tx = build_optimizer(cfg.solver, params)
+        step = build_train_step(cfg, model, tx)
+        state = TrainState(params, tx.init(params), jnp.asarray(0))
+        key = jax.random.PRNGKey(0)
+        state, m = step(state, tb, key)
+        float(m["total_loss"])  # compile + force
+        nt = 30
+        t0 = time.perf_counter()
+        for _ in range(nt - 1):
+            state, m = step(state, tb, key)
+        state, m = step(state, tb, key)
+        float(m["total_loss"])
+        extra["train_step_ms"] = round((time.perf_counter() - t0) / nt * 1000, 2)
+
     result = {
         "metric": "ore images/sec, batch-1 query path @320px (25-shot cache)",
         "value": round(sustained_fps, 2),

@@ -95,3 +95,16 @@ def test_async_predictor_order_and_results():
     for o in outs:
         assert o["boxes"].shape[1] == 4
         assert np.isfinite(o["boxes"]).all()
+
+
+def test_profiling_cost_analysis():
+    from faster_orefsdet_tpu.utils.profiling import cost_analysis, device_memory
+
+    import jax.numpy as jnp
+
+    def f(x):
+        return (x @ x).sum()
+
+    ca = cost_analysis(f, jnp.ones((64, 64)))
+    assert ca.get("flops", 0) > 0
+    device_memory()  # must not raise
