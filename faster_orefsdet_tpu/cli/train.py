@@ -92,11 +92,25 @@ def main():
     loader = train_loader(records, mapper, cfg.solver.ims_per_batch, seed=cfg.seed)
 
     tx = build_optimizer(cfg.solver, params)
-    step_fn = build_train_step(cfg, model, tx)
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        # data-parallel over the mesh (replaces the reference's NCCL launch)
+        from ..parallel import build_dp_train_step, make_mesh, replicate_state, shard_batch
+
+        assert cfg.solver.ims_per_batch % n_dev == 0, (
+            f"ims_per_batch {cfg.solver.ims_per_batch} must divide over {n_dev} devices"
+        )
+        mesh = make_mesh(n_dev)
+        step_fn = build_dp_train_step(cfg, model, tx, mesh)
+    else:
+        step_fn = build_train_step(cfg, model, tx)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
     if args.resume:
         state = resume_or_load(ckpt_dir, state)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
 
     logger = EventLogger(cfg.output_dir)
     max_iter = args.max_iter or cfg.solver.max_iter
@@ -104,6 +118,8 @@ def main():
     start = int(state.step)
     for it in range(start, max_iter):
         batch = next(loader)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         logger.log(it, {k: float(v) for k, v in metrics.items()})
