@@ -49,16 +49,24 @@ def train_loader(
     seed: int = 0,
     prefetch: int = 2,
 ) -> Iterator[TrainBatch]:
-    """Infinite shuffled episodic stream with background prefetch."""
+    """Infinite shuffled episodic stream with background prefetch.
+
+    Batches are grouped by canvas shape — landscape vs portrait — mirroring
+    d2's AspectRatioGroupedDataset (detectron2.7z!data/common.py; the reason
+    the reference groups by aspect ratio is exactly that mixed orientations
+    can't share a batch tensor)."""
     rng = np.random.default_rng(seed)
 
     def produce(q: Queue):
+        buckets = {}
         while True:
             order = rng.permutation(len(records))
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                idx = order[start : start + batch_size]
-                examples = [mapper(records[i], rng) for i in idx]
-                q.put(collate(examples))
+            for i in order:
+                ex = mapper(records[int(i)], rng)
+                key = ex.image.shape[:2]
+                buckets.setdefault(key, []).append(ex)
+                if len(buckets[key]) == batch_size:
+                    q.put(collate(buckets.pop(key)))
 
     q: Queue = Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)

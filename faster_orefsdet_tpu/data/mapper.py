@@ -103,7 +103,17 @@ class EpisodicMapper:
         self.sampler = sampler
         self.is_train = is_train
         inp = cfg.input
-        self.canvas_hw = canvas_hw or (448, 672)
+        if canvas_hw is None:
+            # worst-case canvas from the config: short side up to
+            # max(min_size_train), long side capped at max_size_train.
+            # Orientation is chosen per image (landscape vs portrait) and the
+            # loader groups batches by canvas shape — the fixed-shape
+            # equivalent of d2's AspectRatioGroupedDataset (SURVEY §2.2).
+            # Callers with known aspect bounds should pass a tighter canvas.
+            short = max(inp.min_size_train) if is_train else inp.min_size_test
+            long = inp.max_size_train if is_train else inp.max_size_test
+            canvas_hw = (-(-short // 32) * 32, -(-long // 32) * 32)
+        self.canvas_hw = canvas_hw
         cs = cfg.fs.support_crop_size
         self.support_canvas = (-(-cs // 32) * 32, -(-cs // 32) * 32)  # 240→256
 
@@ -140,8 +150,12 @@ class EpisodicMapper:
             x2 = neww - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
 
+        # orient the canvas to the image (landscape vs portrait); the loader
+        # groups batches by canvas shape (aspect-ratio grouping)
+        ch, cw = self.canvas_hw
+        canvas_hw = (ch, cw) if neww >= newh else (cw, ch)
         canvas = pad_to_canvas(
-            normalize(resized, cfg.input.pixel_mean, cfg.input.pixel_std), self.canvas_hw
+            normalize(resized, cfg.input.pixel_mean, cfg.input.pixel_std), canvas_hw
         )
 
         n_max = cfg.static.max_gt_per_image
