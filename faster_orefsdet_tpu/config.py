@@ -218,11 +218,28 @@ def finetune_vovnet_kshot(shot: int) -> Config:
     return cfg.replace(fs=dataclasses.replace(cfg.fs, support_shot=shot))
 
 
+def finetune_r50_c4_1x() -> Config:
+    """configs/fsod/finetune_R_50_C4_1x.yaml: CenterNet2Detector over
+    ResNet-50 + FPN (res3-res5 → P3-P5)."""
+    return Config(backbone_name="resnet_fpn")
+
+
+def finetune_dla() -> Config:
+    """configs/fsod/finetune_dla.yaml: CenterNet2Detector over DLA-34 +
+    BiFPN (160 channels, build_p35_fcos_dla_bifpn_backbone)."""
+    cfg = Config(backbone_name="dla_bifpn")
+    return cfg.replace(fpn=dataclasses.replace(cfg.fpn, out_channels=160))
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),
+    "finetune_R_50_C4_1x": finetune_r50_c4_1x,
+    "finetune_dla": finetune_dla,
+    # The AttentionRPN baseline (Base-FSOD-C4.yaml / FsodRCNN) uses its own
+    # config type: pipelines.attention_rpn.BaselineConfig.
 }
 
 
