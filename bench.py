@@ -84,7 +84,7 @@ def main():
     }
 
     if os.environ.get("BENCH_BATCHED") == "1":
-        batch = 16
+        batch = int(os.environ.get("BENCH_BATCH_SIZE", "16"))
         binfer = build_batched_inference_fn(cfg, model)
         images = jnp.asarray(rng.standard_normal((batch, *canvas, 3), dtype=np.float32))
         hws = jnp.tile(hw[None], (batch, 1))
@@ -94,7 +94,7 @@ def main():
         for _ in range(nb - 1):
             binfer(params, cache, images, hws)
         float(jnp.sum(binfer(params, cache, images, hws).scores))
-        extra["batch16_images_per_sec"] = round(nb * batch / (time.perf_counter() - t0), 1)
+        extra[f"batch{batch}_images_per_sec"] = round(nb * batch / (time.perf_counter() - t0), 1)
 
     if os.environ.get("BENCH_TRAIN") == "1":
         # episodic fine-tune step throughput (synthetic batch, 5-shot)
