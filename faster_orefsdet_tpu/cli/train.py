@@ -81,7 +81,16 @@ def main():
     if args.eval_only:
         records = load_coco_json(args.test_json, args.test_images)
         cache = encode_support_set(model, params, support_entries, cfg)
-        results = evaluate(model, params, cache, records, cfg)
+        n_dev = args.num_devices or len(jax.devices())
+        if n_dev > 1:
+            from ..parallel import make_mesh
+            from ..parallel.eval_dp import evaluate_sharded
+
+            results = evaluate_sharded(
+                model, params, cache, records, cfg, make_mesh(n_dev)
+            )
+        else:
+            results = evaluate(model, params, cache, records, cfg)
         print({k: round(v, 3) for k, v in results.items()})
         return results
 
