@@ -205,9 +205,11 @@ def roi_inference(
     fg_scores = scores[:, : cfg.num_classes]  # drop background column
 
     boxes = clip_boxes(final_boxes, image_hw)
-    # single fg class → plain NMS with strict > score filter
+    # single fg class → plain NMS with strict > score filter; non-finite
+    # predictions dropped (fast_rcnn_inference valid_mask, fast_rcnn.py:137-140)
     s = fg_scores[:, 0]
-    valid = prop_valid & (s > cfg.score_thresh_test)
+    finite = jnp.isfinite(s) & jnp.all(jnp.isfinite(boxes), axis=-1)
+    valid = prop_valid & (s > cfg.score_thresh_test) & finite
     keep = nms_mask(boxes, s, valid, cfg.nms_thresh_test)
     topk = min(cfg.detections_per_image, s.shape[0])
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, s, -1.0), topk)
