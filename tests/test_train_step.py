@@ -160,3 +160,14 @@ def test_param_labels_partition(setup):
     assert any("stage4" in k and v == "base" for k, v in flat.items())
     # predictor heads get the HEAD_LR_FACTOR group
     assert any(v == "head" for v in flat.values())
+
+
+def test_empty_gt_image_trains_finite(setup):
+    """Images whose gt all got filtered (or padded-out) must still produce
+    finite losses (background-only ROI sampling, zero heatmap)."""
+    cfg, model, params = setup
+    batch = make_batch(np.random.default_rng(5))
+    batch = batch._replace(gt_valid=jnp.zeros_like(batch.gt_valid))
+    total, losses = loss_fn(params, batch, model, cfg, jax.random.PRNGKey(6))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
