@@ -14,8 +14,11 @@ before execution finishes, so measurements force HOST READBACKS. The
 headline number is sustained batch-1 throughput over N dispatches with a
 final readback (amortizes relay RTT); single-dispatch readback latency is
 reported in `extra` (upper bound — includes one relay round trip).
-Set BENCH_BATCHED=1 to also measure the batch-16 serving path (adds a
-second, slower compile).
+Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
+BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
+default run stays within the driver's budget. Reference figures measured on
+TPU v5e: batch-1 sustained 724 img/s; batch-64 serving 1332 img/s (see
+RESULTS.md).
 """
 
 import json
@@ -98,8 +101,6 @@ def main():
 
     if os.environ.get("BENCH_TRAIN") == "1":
         # episodic fine-tune step throughput (synthetic batch, 5-shot)
-        import jax.numpy as jnp2
-
         from faster_orefsdet_tpu.pipelines.train_step import (
             TrainBatch,
             TrainState,
