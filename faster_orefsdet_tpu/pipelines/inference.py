@@ -95,6 +95,90 @@ def query_path_single(
     )
 
 
+def query_path_multiclass(
+    model: CenterNet2Detector,
+    params,
+    mcache: SupportCache,
+    image: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    cfg: Config,
+) -> Detections:
+    """Multi-class query path: one backbone pass, then the support-conditioned
+    stages vmapped over the class axis of a stacked cache
+    (pipelines.support_cache.stack_support_caches), cross-class NMS at the end.
+
+    Fixes the reference's per-class eval loop (fsod_cen.py:454-517), where
+    each class iteration overwrites the previous one's attention maps so only
+    the last class was ever scored."""
+    from ..ops.nms import batched_nms_mask
+
+    canvas_hw = (image.shape[0], image.shape[1])
+    variables = {"params": params}
+    feats = model.apply(variables, image[None], method=model.features)
+    feats = {k: v[0] for k, v in feats.items()}
+    feat_list = [feats[l] for l in ("p3", "p4", "p5")]
+
+    def per_class(cache_c):
+        kernels = {
+            "p3": support_kernels(cache_c.p3),
+            "p4": support_kernels(cache_c.p4),
+            "p5": support_kernels(cache_c.p5),
+        }
+        pos_feats = model.apply(
+            variables, {k: v[None] for k, v in feats.items()}, kernels,
+            method=model.correlate,
+        )
+        agn_hms, bbox_regs = model.apply(
+            variables, pos_feats, method=model.proposal_head
+        )
+        proposals = decode_proposals(
+            [h[0] for h in agn_hms], [r[0] for r in bbox_regs],
+            cfg.centernet, canvas_hw, image_hw, training=False,
+        )
+        boxes = proposals.boxes
+        stage_outputs = []
+        for stage in range(len(cfg.roi.cascade_ious)):
+            out = model.apply(
+                variables, feat_list, boxes, cache_c.rcnn_8, cache_c.rcnn_4,
+                stage, method=model.roi_stage,
+            )
+            stage_outputs.append(out)
+            boxes = apply_deltas(out.deltas, boxes, cfg.roi.cascade_bbox_reg_weights[stage])
+        probs = sum(jax.nn.softmax(o.scores, axis=-1) for o in stage_outputs) / len(
+            stage_outputs
+        )
+        from ..structures.boxes import clip_boxes
+
+        return clip_boxes(boxes, image_hw), probs[:, 0], proposals.valid
+
+    boxes, scores, valid = jax.vmap(per_class)(mcache)
+    n_cls = boxes.shape[0]
+    classes = jnp.repeat(jnp.arange(n_cls), boxes.shape[1])
+    boxes = boxes.reshape(-1, 4)
+    scores = scores.reshape(-1)
+    valid = valid.reshape(-1) & (scores > cfg.roi.score_thresh_test)
+    valid &= jnp.isfinite(scores) & jnp.all(jnp.isfinite(boxes), axis=-1)
+    keep = batched_nms_mask(boxes, scores, classes, valid, cfg.roi.nms_thresh_test)
+    topk = min(cfg.roi.detections_per_image, scores.shape[0])
+    sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, scores, -1.0), topk)
+    return Detections(
+        boxes=boxes[sel_idx],
+        scores=jnp.maximum(sel_scores, 0.0),
+        classes=classes[sel_idx],
+        valid=sel_scores > 0.0,
+    )
+
+
+def build_multiclass_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+    model = model or make_detector(cfg)
+
+    @jax.jit
+    def fn(params, mcache, image, image_hw):
+        return query_path_multiclass(model, params, mcache, image, image_hw, cfg)
+
+    return fn
+
+
 def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
     """jit-compiled (params, cache, image, image_hw) → Detections."""
     model = model or make_detector(cfg)

@@ -80,3 +80,15 @@ def save_support_cache(path: str, cache: SupportCache) -> None:
 def load_support_cache(path: str) -> SupportCache:
     z = np.load(path)
     return SupportCache(**{k: jnp.asarray(z[k]) for k in SupportCache._fields})
+
+
+def stack_support_caches(caches: "list[SupportCache]") -> SupportCache:
+    """Stack per-class caches along a leading class axis → a multi-class
+    cache ([C, ...] per field). The reference's support_dict is keyed by
+    class id (fsod_cen.py:329-415); its eval loop over classes is broken
+    (each iteration overwrites the attention maps, so only the LAST class is
+    actually evaluated — fsod_cen.py:454-517). The multi-class query path in
+    pipelines.inference evaluates every class and NMSes across them, which is
+    the evident intent."""
+    return SupportCache(*[jnp.stack([getattr(c, f) for c in caches])
+                          for f in SupportCache._fields])

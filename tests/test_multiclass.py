@@ -1,0 +1,77 @@
+"""Multi-class query path tests (stacked support cache, cross-class NMS)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faster_orefsdet_tpu.config import get_config
+from faster_orefsdet_tpu.pipelines.inference import (
+    make_detector,
+    query_path_multiclass,
+    query_path_single,
+)
+from faster_orefsdet_tpu.pipelines.support_cache import (
+    SupportCache,
+    stack_support_caches,
+)
+from faster_orefsdet_tpu.utils.params import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("finetune_vovnet")
+    cfg = cfg.replace(
+        centernet=dataclasses.replace(
+            cfg.centernet, pre_nms_topk_test=128, post_nms_topk_test=32
+        ),
+        roi=dataclasses.replace(cfg.roi, detections_per_image=24),
+    )
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def _cache(rng, c=128):
+    g = np.random.default_rng(rng)
+    return SupportCache(
+        p3=jnp.asarray(g.standard_normal((32, 32, c), dtype=np.float32)),
+        p4=jnp.asarray(g.standard_normal((16, 16, c), dtype=np.float32)),
+        p5=jnp.asarray(g.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_8=jnp.asarray(g.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_4=jnp.asarray(g.standard_normal((4, 4, c), dtype=np.float32)),
+    )
+
+
+def test_multiclass_runs_and_assigns_classes(setup):
+    cfg, model, params = setup
+    mcache = stack_support_caches([_cache(0), _cache(1), _cache(2)])
+    img = jnp.asarray(np.random.default_rng(3).standard_normal((96, 128, 3), dtype=np.float32))
+    det = query_path_multiclass(model, params, mcache, img, jnp.asarray([96.0, 128.0]), cfg)
+    assert det.boxes.shape == (24, 4)
+    cls = np.asarray(det.classes)[np.asarray(det.valid)]
+    assert cls.min() >= 0 and cls.max() <= 2
+    assert np.isfinite(np.asarray(det.boxes)).all()
+
+
+def test_multiclass_single_class_consistency(setup):
+    """With one class, the multi-class path's surviving detections must match
+    the single-class path (same cache, same image)."""
+    cfg, model, params = setup
+    cache = _cache(7)
+    mcache = stack_support_caches([cache])
+    img = jnp.asarray(np.random.default_rng(8).standard_normal((96, 128, 3), dtype=np.float32))
+    hw = jnp.asarray([96.0, 128.0])
+    a = query_path_single(model, params, cache, img, hw, cfg)
+    b = query_path_multiclass(model, params, mcache, img, hw, cfg)
+    av, bv = np.asarray(a.valid), np.asarray(b.valid)
+    assert av.sum() == bv.sum()
+    np.testing.assert_allclose(
+        np.asarray(a.boxes)[av], np.asarray(b.boxes)[bv], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.scores)[av], np.asarray(b.scores)[bv], rtol=1e-4, atol=1e-5
+    )
