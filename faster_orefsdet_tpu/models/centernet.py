@@ -57,7 +57,7 @@ def decode_proposals(
     image_hw,
     *,
     training: bool,
-    nms_budget: int = 2048,
+    nms_budget: int | None = None,
 ) -> Proposals:
     """Decode per-level head outputs for ONE image into fixed-K proposals.
 
@@ -75,6 +75,10 @@ def decode_proposals(
     pre_topk = cfg.pre_nms_topk_train if training else cfg.pre_nms_topk_test
     post_topk = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
     nms_th = cfg.nms_thresh_train if training else cfg.nms_thresh_test
+    if nms_budget is None:
+        # training needs the full post-NMS keep capacity; test uses the tuned
+        # cap (config.StaticShapeConfig.nms_budget_test via callers)
+        nms_budget = max(2048, post_topk) if training else 1024
 
     shapes = level_grid_shapes(canvas_hw, strides)
     offsets = np.cumsum([0] + [hl * wl for hl, wl in shapes])
