@@ -17,8 +17,8 @@ reported in `extra` (upper bound — includes one relay round trip).
 Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
 BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
 default run stays within the driver's budget. Reference figures measured on
-TPU v5e: batch-1 sustained 724 img/s; batch-64 serving 1332 img/s (see
-RESULTS.md).
+TPU v5e: batch-1 pure compute 984 img/s (19.7x baseline); batch-64 serving
+1332 img/s (see RESULTS.md).
 """
 
 import json
