@@ -11,9 +11,11 @@ the bf16 serving configuration.
 
 Timing methodology: on relayed/async backends `block_until_ready` can return
 before execution finishes, so measurements force HOST READBACKS. The
-headline number is sustained batch-1 throughput over N dispatches with a
-final readback (amortizes relay RTT); single-dispatch readback latency is
-reported in `extra` (upper bound — includes one relay round trip).
+HEADLINE number is pure device compute: N query-path iterations chained with
+a data dependency inside ONE XLA program, one dispatch + one readback —
+matching the reference's own "pure compute time" telemetry (log :813) and
+immune to the relay's session-dependent per-dispatch RPC cost. Host-side
+dispatch-loop throughput and single-dispatch latency land in `extra`.
 Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
 BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
 default run stays within the driver's budget. Reference figures measured on
