@@ -204,6 +204,49 @@ def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = N
     return fn
 
 
+def build_serving_fn(
+    cfg: Config,
+    input_hw: Tuple[int, int],
+    model: CenterNet2Detector | None = None,
+):
+    """End-to-end serving program: RAW images → detections in original coords.
+
+    Fuses the preprocessing stage INTO the jitted graph (the jax.image
+    preprocessing stage of the BASELINE.json north star): uint8/float
+    [B, H0, W0, 3] batches at a fixed camera resolution are resized to the
+    configured test scale, normalized, padded and pushed through the query
+    path — one XLA program from pixels to boxes, no host-side image work.
+
+    input_hw: the fixed raw input resolution (static per serving deployment).
+    Returns (fn, canvas_hw): fn(params, cache, raw_images [B,H0,W0,3]) →
+    Detections with boxes already rescaled to the raw input frame.
+    """
+    from .preprocess import preprocess_device, resize_shortest_edge_size
+
+    model = model or make_detector(cfg)
+    h0, w0 = input_hw
+    rh, rw = resize_shortest_edge_size(
+        h0, w0, cfg.input.min_size_test, cfg.input.max_size_test
+    )
+    canvas_hw = (-(-rh // 32) * 32, -(-rw // 32) * 32)
+    sy, sx = h0 / rh, w0 / rw
+    hw = jnp.asarray([float(rh), float(rw)])
+    scale_vec = jnp.asarray([sx, sy, sx, sy], jnp.float32)
+
+    @jax.jit
+    def fn(params, cache, raw_images):
+        def one(img):
+            canvas = preprocess_device(
+                img, (rh, rw), canvas_hw, cfg.input.pixel_mean, cfg.input.pixel_std
+            )
+            det = query_path_single(model, params, cache, canvas, hw, cfg)
+            return det._replace(boxes=det.boxes * scale_vec)
+
+        return jax.vmap(one)(raw_images)
+
+    return fn, canvas_hw
+
+
 def rescale_detections(det: Detections, scale_hw) -> Detections:
     """Map resized-frame boxes back to original image coords
     (detector_postprocess semantics: scale x by w-ratio, y by h-ratio)."""

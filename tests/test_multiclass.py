@@ -75,3 +75,28 @@ def test_multiclass_single_class_consistency(setup):
     np.testing.assert_allclose(
         np.asarray(a.scores)[av], np.asarray(b.scores)[bv], rtol=1e-4, atol=1e-5
     )
+
+
+def test_serving_fn_raw_to_boxes(setup):
+    """End-to-end serving program: raw uint8 frames → original-frame boxes."""
+    from faster_orefsdet_tpu.pipelines.inference import build_serving_fn
+
+    cfg, model, params = setup
+    import dataclasses
+
+    cfg2 = cfg.replace(
+        input=dataclasses.replace(cfg.input, min_size_test=96, max_size_test=160)
+    )
+    fn, canvas_hw = build_serving_fn(cfg2, (120, 160), model)
+    assert canvas_hw[0] % 32 == 0 and canvas_hw[1] % 32 == 0
+    cache = _cache(9)
+    raw = jnp.asarray(
+        np.random.default_rng(10).integers(0, 255, (2, 120, 160, 3)).astype(np.float32)
+    )
+    det = fn(params, cache, raw)
+    assert det.boxes.shape[0] == 2
+    b = np.asarray(det.boxes)
+    v = np.asarray(det.valid)
+    # boxes are in the RAW frame: within [0,160]x[0,120]
+    assert (b[v[..., None].repeat(4, -1)] <= 160.0 + 1e-2).all()
+    assert np.isfinite(b).all()
