@@ -20,7 +20,7 @@ Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
 BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
 default run stays within the driver's budget. Reference figures measured on
 TPU v5e: batch-1 pure compute 984 img/s (19.7x baseline); batch-64 serving
-1332 img/s (see RESULTS.md).
+1585 img/s (see RESULTS.md).
 """
 
 import json
