@@ -63,7 +63,7 @@ def main():
         save_params_npz,
     )
     from ..utils.events import EventLogger
-    from ..utils.params import init_params
+    from ..utils.params import init_variables
 
     cfg = get_config(args.config)
     cfg = apply_overrides(cfg, args.opts)
@@ -72,15 +72,22 @@ def main():
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     model = make_detector(cfg)
-    params = init_params(model, cfg, jax.random.PRNGKey(cfg.seed))
+    # batch_stats is None except for trainable-BN backbones (finetune_dla)
+    params, batch_stats = init_variables(model, cfg, jax.random.PRNGKey(cfg.seed))
     if args.init_npz:
         params = load_params_npz(args.init_npz, params)
+        # trainable-BN configs save running stats next to the params export
+        stats_npz = os.path.join(os.path.dirname(args.init_npz), "batch_stats.npz")
+        if batch_stats is not None and os.path.exists(stats_npz):
+            batch_stats = load_params_npz(stats_npz, batch_stats)
 
     support_entries = load_support_index(args.support_index) if args.support_index else []
 
     if args.eval_only:
         records = load_coco_json(args.test_json, args.test_images)
-        cache = encode_support_set(model, params, support_entries, cfg)
+        cache = encode_support_set(
+            model, params, support_entries, cfg, batch_stats=batch_stats
+        )
         n_dev = args.num_devices or len(jax.devices())
         if n_dev > 1:
             from ..parallel import make_mesh
@@ -90,7 +97,9 @@ def main():
                 model, params, cache, records, cfg, make_mesh(n_dev)
             )
         else:
-            results = evaluate(model, params, cache, records, cfg)
+            results = evaluate(
+                model, params, cache, records, cfg, batch_stats=batch_stats
+            )
         print({k: round(v, 3) for k, v in results.items()})
         return results
 
@@ -114,7 +123,7 @@ def main():
         step_fn = build_dp_train_step(cfg, model, tx, mesh)
     else:
         step_fn = build_train_step(cfg, model, tx)
-    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    state = TrainState(params, tx.init(params), jnp.asarray(0), batch_stats)
     ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
     if args.resume:
         state = resume_or_load(ckpt_dir, state)
@@ -135,6 +144,10 @@ def main():
         if (it + 1) % cfg.solver.checkpoint_period == 0 or it + 1 == max_iter:
             save_checkpoint(ckpt_dir, state, it + 1)
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)
+    if state.batch_stats is not None:
+        save_params_npz(
+            os.path.join(cfg.output_dir, "batch_stats.npz"), state.batch_stats
+        )
     print(f"training done: {max_iter} iters; params saved to {cfg.output_dir}/model_final.npz")
 
 

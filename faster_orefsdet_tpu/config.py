@@ -37,6 +37,22 @@ class FPNConfig:
     out_channels: int = 128
     fuse_type: str = "sum"
     top_levels: int = 0  # MODEL.FCOS.TOP_LEVELS: 0 → pure P3-P5
+    # BiFPN-only (bifpn_fcos.py:423-440 + fewx/config/cfg.py:57-62):
+    # GN on lateral/output convs; output convs lose their bias under a norm.
+    bifpn_norm: str = "GN"
+    bifpn_repeats: int = 4  # BIFPN.NUM_BIFPN (finetune_dla.yaml:18)
+
+
+@dataclass(frozen=True)
+class DLAConfig:
+    """DLA-34 bottom-up for the BiFPN family. Reference:
+    detectron2.7z!modeling/backbone/dlafpn.py:395-400 (dla34) with
+    fewx/config/cfg.py:65-71 defaults; finetune_dla.yaml sets NORM:"BN"
+    (trainable BatchNorm — the DLA configs do NOT freeze their norm, and
+    FREEZE_AT is a no-op for the dla builders)."""
+
+    num_layers: int = 34
+    norm: str = "BN"  # "BN" (trainable, batch_stats collection) | "FrozenBN"
 
 
 @dataclass(frozen=True)
@@ -196,6 +212,7 @@ class Config:
     # throughput and halves HBM traffic; default f32 for exact parity tests.
     compute_dtype: str = "float32"
     vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
+    dla: DLAConfig = field(default_factory=DLAConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
     centernet: CenterNetConfig = field(default_factory=CenterNetConfig)
     roi: ROIConfig = field(default_factory=ROIConfig)

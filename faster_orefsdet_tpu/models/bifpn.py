@@ -9,6 +9,12 @@ activation, then a 3x3 output conv. The 3-level node graph (:141-148):
   node4 = fuse(f1, f2↑)      node5 = fuse(f0, f4↑)
   node6 = fuse(f1, f4, f5↓)  node7 = fuse(f2, f6↓)
   outputs = (f0-level: node5, f1-level: node6, f2-level: node7)
+
+Norm (BIFPN.NORM, default "GN", fewx/config/cfg.py:60): lateral 1x1 convs
+keep their bias and add GroupNorm(32) (bifpn_fcos.py:162-166, d2 Conv2d
+default bias); output 3x3 convs drop the bias under a norm
+(bifpn_fcos.py:184-190, bias=(norm=="")). norm="" reproduces the bare-conv
+variant. GroupNorm eps follows torch's 1e-5.
 """
 
 from __future__ import annotations
@@ -48,9 +54,30 @@ def _resample(x, target_hw, out_channels):
     return x
 
 
+class _ConvGN(nn.Module):
+    """d2 Conv2d(..., norm=get_norm('GN', C)): conv → GroupNorm(32, C)."""
+
+    features: int
+    kernel: int = 1
+    use_bias: bool = True
+    norm: str = "GN"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding=self.kernel // 2, use_bias=self.use_bias,
+                    dtype=self.dtype, name="conv")(x)
+        if self.norm == "GN":
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             name="gn")(x)
+        return x
+
+
 class SingleBiFPN(nn.Module):
     out_channels: int = 160
     in_channels_list: Tuple[int, ...] = (128, 256, 512)
+    norm: str = "GN"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -68,8 +95,8 @@ class SingleBiFPN(nn.Module):
                 if node_channels[off] != self.out_channels:
                     lname = f"lateral_{off}_f{feat_level}"
                     if lname not in laterals:
-                        laterals[lname] = nn.Conv(
-                            self.out_channels, (1, 1), use_bias=True,
+                        laterals[lname] = _ConvGN(
+                            self.out_channels, 1, use_bias=True, norm=self.norm,
                             dtype=self.dtype, name=lname,
                         )
                     node = laterals[lname](node)
@@ -83,8 +110,8 @@ class SingleBiFPN(nn.Module):
             w = w / (jnp.sum(w) + 1e-4)
             fused = sum(wi * xi for wi, xi in zip(w, inputs))
             fused = swish(fused)
-            fused = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=True,
-                            dtype=self.dtype,
+            fused = _ConvGN(self.out_channels, 3, use_bias=(self.norm == ""),
+                            norm=self.norm, dtype=self.dtype,
                             name=f"output_f{feat_level}_" + "_".join(map(str, offsets)))(fused)
             feats.append(fused)
             node_channels.append(self.out_channels)
@@ -104,6 +131,7 @@ class BiFPN(nn.Module):
     in_channels: Tuple[int, ...] = (128, 256, 512)
     out_channels: int = 160
     num_repeats: int = 4
+    norm: str = "GN"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -111,7 +139,7 @@ class BiFPN(nn.Module):
         feats = [bottom_up[f] for f in self.in_features]
         chans = self.in_channels
         for r in range(self.num_repeats):
-            feats = SingleBiFPN(self.out_channels, tuple(chans), dtype=self.dtype,
-                                name=f"repeat{r}")(feats)
+            feats = SingleBiFPN(self.out_channels, tuple(chans), norm=self.norm,
+                                dtype=self.dtype, name=f"repeat{r}")(feats)
             chans = (self.out_channels,) * 3
         return {"p3": feats[0], "p4": feats[1], "p5": feats[2]}

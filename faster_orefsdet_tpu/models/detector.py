@@ -75,13 +75,19 @@ class CenterNet2Detector(nn.Module):
             from .bifpn import BiFPN
             from .dla import DLA
 
-            self.backbone = DLA(num_layers=34, out_features=("dla3", "dla4", "dla5"),
-                                dtype=dtype)
-            ch = DLA.out_channels(34)
+            self.backbone = DLA(
+                num_layers=self.cfg.dla.num_layers,
+                out_features=("dla3", "dla4", "dla5"),
+                norm=self.cfg.dla.norm,
+                dtype=dtype,
+            )
+            ch = DLA.out_channels(self.cfg.dla.num_layers)
             self.fpn = BiFPN(
                 in_features=("dla3", "dla4", "dla5"),
                 in_channels=(ch["dla3"], ch["dla4"], ch["dla5"]),
                 out_channels=self.cfg.fpn.out_channels,
+                num_repeats=self.cfg.fpn.bifpn_repeats,
+                norm=self.cfg.fpn.bifpn_norm,
                 dtype=dtype,
             )
         elif name == "mnv3_fpn":
@@ -135,8 +141,17 @@ class CenterNet2Detector(nn.Module):
         return tuple(self.cfg.centernet.in_features)
 
     # ---------------------------------------------------------------- phases
-    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """images: [B, H, W, 3] normalized NHWC → {'p3','p4','p5'} maps."""
+    def features(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        """images: [B, H, W, 3] normalized NHWC → {'p3','p4','p5'} maps.
+
+        `train=True` puts trainable norms (DLA BatchNorm, dla.norm="BN") in
+        batch-stats mode; the caller must then apply with
+        mutable=["batch_stats"]. Frozen/stateless-norm backbones ignore it.
+        """
+        if self.cfg.backbone_name == "dla_bifpn":
+            return self.fpn(self.backbone(images, train=train))
         return self.fpn(self.backbone(images))
 
     def refine_support(

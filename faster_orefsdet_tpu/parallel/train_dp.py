@@ -53,15 +53,25 @@ def build_dp_train_step(
     def per_replica(state: TrainState, batch: TrainBatch, rng: jax.Array):
         rep = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, rep)
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, model, cfg, rng, axis_name
-        )
+        if state.batch_stats is None:
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, model, cfg, rng, axis_name
+            )
+            new_stats = None
+        else:
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
+            # keep the replicated state consistent: average the per-replica BN
+            # stat updates (cross-replica stat averaging — the yaml's multi-card
+            # variant uses SyncBN, finetune_dla.yaml DLA.NORM comment)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
         grads = jax.lax.pmean(grads, axis_name)  # DDP gradient all-reduce
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total, **losses}
         metrics = jax.lax.pmean(metrics, axis_name)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, new_stats), metrics
 
     def make_step(state, batch):
         state_specs = jax.tree.map(lambda _: P(), state)

@@ -33,6 +33,7 @@ def encode_support_set(
     entries: Sequence[SupportEntry],
     cfg: Config,
     shot: Optional[int] = None,
+    batch_stats=None,
 ) -> SupportCache:
     """Build the cache from the first `shot` entries of the (single) class —
     init_model caps rows at SUPPORT_SHOT (fsod_cen.py:336-345)."""
@@ -57,6 +58,7 @@ def encode_support_set(
         jnp.asarray(np.stack(imgs)),
         jnp.asarray(np.asarray(boxes, np.float32)),
         cfg,
+        batch_stats=batch_stats,
     )
 
 
@@ -67,6 +69,7 @@ def evaluate(
     records: Sequence[ImageRecord],
     cfg: Config,
     canvas_hw: Optional[Tuple[int, int]] = None,
+    batch_stats=None,
 ) -> Dict[str, float]:
     """Run the eval loop; returns the AP table + timing stats."""
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
@@ -77,7 +80,8 @@ def evaluate(
     n = 0
     for rec, canvas, (newh, neww), scale in eval_loader(records, cfg, canvas_hw):
         t0 = time.perf_counter()
-        det = infer(params, cache, canvas, jnp.asarray([float(newh), float(neww)]))
+        det = infer(params, cache, canvas, jnp.asarray([float(newh), float(neww)]),
+                    batch_stats)
         det.boxes.block_until_ready()
         dt = time.perf_counter() - t0
         if n > 0:  # skip compile

@@ -29,6 +29,12 @@ def make_detector(cfg: Config) -> CenterNet2Detector:
     return CenterNet2Detector(cfg)
 
 
+def _variables(params, batch_stats):
+    if batch_stats is not None:
+        return {"params": params, "batch_stats": batch_stats}
+    return {"params": params}
+
+
 def query_path_single(
     model: CenterNet2Detector,
     params,
@@ -36,15 +42,17 @@ def query_path_single(
     image: jnp.ndarray,
     image_hw: jnp.ndarray,
     cfg: Config,
+    batch_stats=None,
 ) -> Detections:
     """One query image [Hc, Wc, 3] (normalized, padded canvas) → Detections.
 
     image_hw: [2] true resized size (h, w) before canvas padding; detections
     are in resized-image coordinates (caller rescales to the original frame,
     mirroring detector_postprocess, fsod_cen.py:557-571).
+    batch_stats: BN running statistics for dla.norm="BN" models (eval mode).
     """
     canvas_hw = (image.shape[0], image.shape[1])
-    variables = {"params": params}
+    variables = _variables(params, batch_stats)
 
     feats = model.apply(variables, image[None], method=model.features)
     feats = {k: v[0] for k, v in feats.items()}
@@ -102,6 +110,7 @@ def query_path_multiclass(
     image: jnp.ndarray,
     image_hw: jnp.ndarray,
     cfg: Config,
+    batch_stats=None,
 ) -> Detections:
     """Multi-class query path: one backbone pass, then the support-conditioned
     stages vmapped over the class axis of a stacked cache
@@ -113,7 +122,7 @@ def query_path_multiclass(
     from ..ops.nms import batched_nms_mask
 
     canvas_hw = (image.shape[0], image.shape[1])
-    variables = {"params": params}
+    variables = _variables(params, batch_stats)
     feats = model.apply(variables, image[None], method=model.features)
     feats = {k: v[0] for k, v in feats.items()}
     feat_list = [feats[l] for l in ("p3", "p4", "p5")]
@@ -173,19 +182,24 @@ def build_multiclass_inference_fn(cfg: Config, model: CenterNet2Detector | None 
     model = model or make_detector(cfg)
 
     @jax.jit
-    def fn(params, mcache, image, image_hw):
-        return query_path_multiclass(model, params, mcache, image, image_hw, cfg)
+    def fn(params, mcache, image, image_hw, batch_stats=None):
+        return query_path_multiclass(
+            model, params, mcache, image, image_hw, cfg, batch_stats
+        )
 
     return fn
 
 
 def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
-    """jit-compiled (params, cache, image, image_hw) → Detections."""
+    """jit-compiled (params, cache, image, image_hw[, batch_stats]) →
+    Detections (batch_stats only for dla.norm="BN" models)."""
     model = model or make_detector(cfg)
 
     @jax.jit
-    def fn(params, cache, image, image_hw):
-        return query_path_single(model, params, cache, image, image_hw, cfg)
+    def fn(params, cache, image, image_hw, batch_stats=None):
+        return query_path_single(
+            model, params, cache, image, image_hw, cfg, batch_stats
+        )
 
     return fn
 
@@ -196,9 +210,11 @@ def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = N
     model = model or make_detector(cfg)
 
     @jax.jit
-    def fn(params, cache, images, image_hw):
+    def fn(params, cache, images, image_hw, batch_stats=None):
         return jax.vmap(
-            lambda img, hw: query_path_single(model, params, cache, img, hw, cfg)
+            lambda img, hw: query_path_single(
+                model, params, cache, img, hw, cfg, batch_stats
+            )
         )(images, image_hw)
 
     return fn
@@ -234,12 +250,12 @@ def build_serving_fn(
     scale_vec = jnp.asarray([sx, sy, sx, sy], jnp.float32)
 
     @jax.jit
-    def fn(params, cache, raw_images):
+    def fn(params, cache, raw_images, batch_stats=None):
         def one(img):
             canvas = preprocess_device(
                 img, (rh, rw), canvas_hw, cfg.input.pixel_mean, cfg.input.pixel_std
             )
-            det = query_path_single(model, params, cache, canvas, hw, cfg)
+            det = query_path_single(model, params, cache, canvas, hw, cfg, batch_stats)
             return det._replace(boxes=det.boxes * scale_vec)
 
         return jax.vmap(one)(raw_images)

@@ -40,13 +40,18 @@ def build_support_cache(
     support_images: jnp.ndarray,
     support_boxes: jnp.ndarray,
     cfg: Config,
+    batch_stats=None,
 ) -> SupportCache:
     """support_images: [K, Hs, Ws, 3] normalized, padded to ÷32 canvas
-    (240px crops → 256); support_boxes: [K, 4] xyxy in crop coords."""
+    (240px crops → 256); support_boxes: [K, 4] xyxy in crop coords.
+    batch_stats: BN running stats for dla.norm="BN" models (eval mode)."""
     strides = [8, 16, 32]
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
 
     def run(imgs, boxes):
-        feats = model.apply({"params": params}, imgs, method=model.features)
+        feats = model.apply(variables, imgs, method=model.features)
         refined = model.apply({"params": params}, feats, method=model.refine_support)
         mean_maps = {k: jnp.mean(v, axis=0) for k, v in refined.items()}
 

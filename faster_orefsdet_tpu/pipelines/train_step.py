@@ -60,6 +60,9 @@ class TrainState(NamedTuple):
     params: Dict
     opt_state: optax.OptState
     step: jnp.ndarray
+    # running BatchNorm statistics — None for frozen/stateless-norm configs,
+    # a {"backbone": ...} collection for dla.norm="BN" (finetune_dla)
+    batch_stats: Dict | None = None
 
 
 def loss_fn(
@@ -69,7 +72,12 @@ def loss_fn(
     cfg: Config,
     rng: jax.Array,
     axis_name: str | None = None,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    batch_stats: Dict | None = None,
+):
+    """Returns (total, losses); with batch_stats given, (total, (losses,
+    new_batch_stats)) — the two backbone passes run in BN train mode and the
+    running stats update sequentially (query pass then support pass, the
+    reference's forward order, fsod_cen.py:165→177)."""
     variables = {"params": params}
     b = batch.images.shape[0]
     s = batch.support_images.shape[1]
@@ -79,9 +87,20 @@ def loss_fn(
     drop_rng, sample_rng = jax.random.split(rng)
 
     # ---- query + support feature extraction (fsod_cen.py:165,177-178)
-    qfeats = model.apply(variables, batch.images, method=model.features)
     sup_flat = batch.support_images.reshape(b * s, *batch.support_images.shape[2:])
-    sfeats = model.apply(variables, sup_flat, method=model.features)
+    if batch_stats is not None:
+        qfeats, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch.images,
+            method=model.features, train=True, mutable=["batch_stats"],
+        )
+        sfeats, upd = model.apply(
+            {"params": params, **upd}, sup_flat,
+            method=model.features, train=True, mutable=["batch_stats"],
+        )
+        new_batch_stats = upd["batch_stats"]
+    else:
+        qfeats = model.apply(variables, batch.images, method=model.features)
+        sfeats = model.apply(variables, sup_flat, method=model.features)
 
     # ---- support ROI pools for the DSA head (:180-183)
     def pool_all(size):
@@ -253,6 +272,8 @@ def loss_fn(
 
     losses = {**cn_losses, **roi_losses}
     total = sum(losses.values())
+    if batch_stats is not None:
+        return total, (losses, new_batch_stats)
     return total, losses
 
 
@@ -262,16 +283,25 @@ def build_train_step(
     tx: optax.GradientTransformation,
     axis_name: str | None = None,
 ):
-    """jit-compiled (state, batch, rng) -> (state, metrics)."""
+    """jit-compiled (state, batch, rng) -> (state, metrics).
+
+    Works for both stateless states (batch_stats=None) and BN states — the
+    branch resolves at trace time on the state's pytree structure."""
 
     @jax.jit
     def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, model, cfg, rng, axis_name
-        )
+        if state.batch_stats is None:
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, model, cfg, rng, axis_name
+            )
+            new_stats = None
+        else:
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total, **losses}
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, new_stats), metrics
 
     return train_step

@@ -68,7 +68,9 @@ def param_labels(params) -> Any:
             return "frozen"
         if "_cls/" in p or "_bbox/" in p:
             return "head"
-        if "_gn/" in p or "GroupNorm" in p:
+        if "_gn/" in p or "GroupNorm" in p or "/gn/" in p or "/bn/" in p:
+            # trainable norms: BiFPN GroupNorm + DLA BatchNorm (dla.norm="BN")
+            # — WEIGHT_DECAY_NORM group, never frozen (d2 solver/build.py)
             return "norm"
         return "base"
 

@@ -7,11 +7,16 @@ distributions follow the reference where it specifies them (CenterNet head
 N(0, 0.01) + bias constants; elsewhere d2 defaults caffe2-style fills, which
 only matter for from-scratch training — the published flow loads pretrained
 VoVNet weights anyway).
+
+Backbones with trainable BatchNorm (dla.norm="BN", finetune_dla) also carry a
+`batch_stats` collection: use `init_variables` to get (params, batch_stats);
+`init_params` stays the params-only entry point (batch_stats discarded —
+fine for frozen/stateless-norm configs where it is None).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,13 +25,20 @@ from ..config import Config
 from ..models.detector import CenterNet2Detector
 
 
-def init_params(model: CenterNet2Detector, cfg: Config, rng: jax.Array) -> Dict:
+def init_variables(
+    model: CenterNet2Detector, cfg: Config, rng: jax.Array
+) -> Tuple[Dict, Optional[Dict]]:
+    """Returns (params, batch_stats); batch_stats is None when the model has
+    no mutable norm state (every config except dla.norm="BN" families)."""
     c = cfg.fpn.out_channels
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
 
-    params = model.init(r1, img, method=model.features)["params"]
-    feats = model.apply({"params": params}, img, method=model.features)
+    v1 = model.init(r1, img, method=model.features)
+    params = v1["params"]
+    batch_stats = v1.get("batch_stats")
+    base_vars = dict(v1)
+    feats = model.apply(base_vars, img, method=model.features)
     p_sup = model.init(r2, feats, method=model.refine_support)["params"]
     kernels = {
         k: (jnp.zeros((c,)), jnp.zeros((3, c)), jnp.zeros((3, c)))
@@ -55,7 +67,11 @@ def init_params(model: CenterNet2Detector, cfg: Config, rng: jax.Array) -> Dict:
             stage, method=model.roi_stage,
         )["params"]
         p_roi = merge_params(p_roi, p_roi_s)
-    return merge_params(params, p_sup, p_cor, p_head, p_roi)
+    return merge_params(params, p_sup, p_cor, p_head, p_roi), batch_stats
+
+
+def init_params(model: CenterNet2Detector, cfg: Config, rng: jax.Array) -> Dict:
+    return init_variables(model, cfg, rng)[0]
 
 
 def merge_params(*trees) -> Dict:

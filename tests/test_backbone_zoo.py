@@ -18,8 +18,9 @@ def test_backbone_pyramid_shapes(backbone):
     cfg = get_config("finetune_vovnet").replace(backbone_name=backbone)
     model = make_detector(cfg)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 96, 3), dtype=np.float32))
-    params = model.init(jax.random.PRNGKey(0), x, method=model.features)["params"]
-    feats = model.apply({"params": params}, x, method=model.features)
+    # keep every init collection — dla_bifpn carries BN batch_stats
+    variables = model.init(jax.random.PRNGKey(0), x, method=model.features)
+    feats = model.apply(variables, x, method=model.features)
     c = cfg.fpn.out_channels
     assert set(feats) >= {"p3", "p4", "p5"}
     assert feats["p3"].shape == (1, 8, 12, c)
