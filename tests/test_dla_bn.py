@@ -246,3 +246,52 @@ def test_dla_bn_train_step_updates_stats_and_infers(dla_setup):
         jnp.asarray([96.0, 128.0]), cfg, batch_stats=state2.batch_stats,
     )
     assert np.isfinite(np.asarray(det.boxes)).all()
+
+
+def test_dla_bn_dp_step_syncs_stats(dla_setup):
+    """DP train step with BN state: per-replica stat updates pmean-sync so
+    the replicated state stays consistent."""
+    from faster_orefsdet_tpu.parallel import make_mesh
+    from faster_orefsdet_tpu.parallel.train_dp import (
+        build_dp_train_step,
+        replicate_state,
+        shard_batch,
+    )
+    from faster_orefsdet_tpu.pipelines.train_step import TrainBatch, TrainState
+    from faster_orefsdet_tpu.solver import build_optimizer
+
+    cfg, model, params, batch_stats = dla_setup
+    rng = np.random.default_rng(5)
+    b, s, nmax = 2, 2, 4
+    gtb = np.zeros((b, nmax, 4), np.float32)
+    gtb[:, 0] = [8, 8, 56, 48]
+    gtv = np.zeros((b, nmax), bool)
+    gtv[:, 0] = True
+    batch = TrainBatch(
+        images=jnp.asarray(rng.standard_normal((b, 96, 128, 3)).astype(np.float32)),
+        image_hw=jnp.asarray([[96.0, 128.0]] * b),
+        gt_boxes=jnp.asarray(gtb),
+        gt_classes=jnp.zeros((b, nmax), jnp.int32),
+        gt_valid=jnp.asarray(gtv),
+        support_images=jnp.asarray(
+            rng.standard_normal((b, s, 64, 64, 3)).astype(np.float32)
+        ),
+        support_boxes=jnp.asarray(
+            np.tile([[8.0, 8.0, 56.0, 56.0]], (b, s, 1)).astype(np.float32)
+        ),
+    )
+    mesh = make_mesh(2)
+    tx = build_optimizer(cfg.solver, params)
+    step = build_dp_train_step(cfg, model, tx, mesh)
+    state = replicate_state(
+        TrainState(params, tx.init(params), jnp.asarray(0), batch_stats), mesh
+    )
+    state2, metrics = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    before = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(batch_stats)]
+    )
+    after = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(state2.batch_stats)]
+    )
+    assert not np.allclose(before, after)
