@@ -19,8 +19,9 @@ dispatch-loop throughput and single-dispatch latency land in `extra`.
 Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
 BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
 default run stays within the driver's budget. Reference figures measured on
-TPU v5e: batch-1 pure compute 984 img/s (19.7x baseline); batch-64 serving
-1585 img/s (see RESULTS.md).
+TPU v5e: batch-1 pure compute 984 img/s (19.7x baseline); batched serving
+sweep 64/128/256 -> 1579/1693/1720 img/s pure compute (knee ~128, 33.9x;
+see RESULTS.md).
 """
 
 import json
