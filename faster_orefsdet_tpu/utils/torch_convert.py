@@ -190,6 +190,137 @@ def load_torch_pth(path: str) -> Dict:
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def _norm_pair(sd, key, norm: str, eps=1e-5):
+    """Torch norm layer at `key` → (params subtree, batch_stats subtree|None).
+
+    norm="BN" keeps the affine under "bn" and running stats in the
+    batch_stats collection; "FrozenBN" folds to the affine FrozenBatchNorm
+    under "norm" (models/dla.py naming)."""
+    if norm == "BN":
+        p = {"bn": {"scale": _np(sd[key + ".weight"]),
+                    "bias": _np(sd[key + ".bias"])}}
+        s = {"bn": {"mean": _np(sd[key + ".running_mean"]),
+                    "var": _np(sd[key + ".running_var"])}}
+        return p, s
+    return {"norm": _frozen_bn(sd, key, eps)}, None
+
+
+def _merge_stats(dst, key, stats):
+    if stats is not None:
+        dst[key] = stats
+
+
+def convert_dla_bifpn_backbone(
+    state_dict: Dict,
+    num_layers: int = 34,
+    norm: str = "BN",
+    bifpn_repeats: int = 4,
+    out_channels: int = 160,
+) -> Tuple[Dict, Dict]:
+    """Reference DLA-34+BiFPN checkpoint (CenterNet2_DLA-BiFPN-P3_4x.pth init
+    of finetune_dla.yaml; module tree per detectron2.7z!modeling/backbone/
+    dlafpn.py:189-253 under `backbone.bottom_up.backbone` and
+    bifpn_fcos.py:152-190 under `backbone.repeated_bifpn.{r}`) →
+    ({"backbone": ..., "fpn": ...} params, batch_stats or None).
+
+    Merge the params into a full detector tree with utils.params.merge_params;
+    batch_stats is {"backbone": ...} when norm="BN" (trainable BatchNorm),
+    None for FrozenBN folding."""
+    from ..models.dla import DLA_SPECS
+
+    sd = state_dict.get("model", state_dict)
+    levels, channels = DLA_SPECS[num_layers]
+    bp = "backbone.bottom_up.backbone"
+
+    def conv_norm(tconv, tnorm):
+        p, s = _norm_pair(sd, tnorm, norm)
+        return {"conv": {"kernel": _conv(sd, tconv)}, **p}, s
+
+    def basic_block(tp):
+        """BasicBlock (dlafpn.py:36-64): conv1/bn1 + conv2/bn2."""
+        p1, s1 = conv_norm(f"{tp}.conv1", f"{tp}.bn1")
+        p2, s2 = conv_norm(f"{tp}.conv2", f"{tp}.bn2")
+        params = {"conv1": p1, "conv2": p2}
+        stats: Dict = {}
+        _merge_stats(stats, "conv1", s1)
+        _merge_stats(stats, "conv2", s2)
+        return params, (stats or None)
+
+    def tree(tp, lv, c_in, c_out):
+        """Tree (dlafpn.py:131-186): tree1/tree2 (+project, +root at lv==1)."""
+        params: Dict = {}
+        stats: Dict = {}
+        if c_in != c_out:
+            pp, ps = conv_norm(f"{tp}.project.0", f"{tp}.project.1")
+            params["project"] = pp
+            _merge_stats(stats, "project", ps)
+        if lv == 1:
+            for name in ("tree1", "tree2"):
+                bp_, bs = basic_block(f"{tp}.{name}")
+                params[name] = bp_
+                _merge_stats(stats, name, bs)
+            rp, rs = conv_norm(f"{tp}.root.conv", f"{tp}.root.bn")
+            params["root"] = {"conv": rp}
+            if rs is not None:
+                stats["root"] = {"conv": rs}
+        else:
+            t1p, t1s = tree(f"{tp}.tree1", lv - 1, c_in, c_out)
+            t2p, t2s = tree(f"{tp}.tree2", lv - 1, c_out, c_out)
+            params["tree1"], params["tree2"] = t1p, t2p
+            _merge_stats(stats, "tree1", t1s)
+            _merge_stats(stats, "tree2", t2s)
+        return params, (stats or None)
+
+    backbone: Dict = {}
+    bstats: Dict = {}
+    p, s = conv_norm(f"{bp}.base_layer.0", f"{bp}.base_layer.1")
+    backbone["base"] = p
+    _merge_stats(bstats, "base", s)
+    for li, n_convs in enumerate(levels[:2]):
+        for i in range(n_convs):
+            p, s = conv_norm(f"{bp}.level{li}.{3 * i}", f"{bp}.level{li}.{3 * i + 1}")
+            backbone[f"level{li}_{i}"] = p
+            _merge_stats(bstats, f"level{li}_{i}", s)
+    c_in = channels[1]
+    for si in range(2, 6):
+        p, s = tree(f"{bp}.level{si}", levels[si], c_in, channels[si])
+        backbone[f"level{si}"] = p
+        _merge_stats(bstats, f"level{si}", s)
+        c_in = channels[si]
+
+    # ---- BiFPN cells (GN is stateless — params only)
+    from ..models.bifpn import NODES_3LEVEL
+
+    fpn: Dict = {}
+    in_ch = tuple(channels[3:6])  # dla3/4/5
+    for r in range(bifpn_repeats):
+        tp = f"backbone.repeated_bifpn.{r}"
+        cell: Dict = {}
+        node_ch = list(in_ch if r == 0 else (out_channels,) * 3)
+        for feat_level, offsets in NODES_3LEVEL:
+            for off in offsets:
+                lname = f"lateral_{off}_f{feat_level}"
+                if node_ch[off] != out_channels and lname not in cell:
+                    cell[lname] = {
+                        "conv": _conv_b(sd, f"{tp}.{lname}"),
+                        "gn": {"scale": _np(sd[f"{tp}.{lname}.norm.weight"]),
+                               "bias": _np(sd[f"{tp}.{lname}.norm.bias"])},
+                    }
+            suffix = f"f{feat_level}_" + "_".join(map(str, offsets))
+            cell[f"weights_{suffix}"] = _np(sd[f"{tp}.weights_{suffix}"])
+            cell[f"output_{suffix}"] = {
+                "conv": {"kernel": _conv(sd, f"{tp}.outputs_{suffix}")},
+                "gn": {"scale": _np(sd[f"{tp}.outputs_{suffix}.norm.weight"]),
+                       "bias": _np(sd[f"{tp}.outputs_{suffix}.norm.bias"])},
+            }
+            node_ch.append(out_channels)
+        fpn[f"repeat{r}"] = cell
+
+    params = _to_jax({"backbone": backbone, "fpn": fpn})
+    batch_stats = _to_jax({"backbone": bstats}) if bstats else None
+    return params, batch_stats
+
+
 def convert_torchvision_resnet(state_dict: Dict, depth: int = 50) -> Dict:
     """torchvision ResNet state_dict → ResNetC4 param tree (stem + res2-res4)
     plus the detached res5 stage — the tool/convert-torchvision-to-d2.py
