@@ -48,6 +48,39 @@ def test_orbax_roundtrip(tmp_path):
     assert int(untouched.step) == 0
 
 
+def test_orbax_roundtrip_with_batch_stats(tmp_path):
+    """TrainState.batch_stats (trainable-BN configs) survives save/restore."""
+    import optax
+
+    from faster_orefsdet_tpu.pipelines.train_step import TrainState
+    from faster_orefsdet_tpu.utils.checkpoint import resume_or_load, save_checkpoint
+
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    stats = {"backbone": {"base": {"bn": {"mean": jnp.asarray([0.3, -0.1]),
+                                          "var": jnp.asarray([1.5, 0.9])}}}}
+    tx = optax.sgd(0.1)
+    state = TrainState(params, tx.init(params), jnp.asarray(3), stats)
+    d = str(tmp_path / "ckpt_bn")
+    save_checkpoint(d, state, 3)
+
+    blank = TrainState(
+        jax.tree.map(jnp.zeros_like, params),
+        tx.init(params),
+        jnp.asarray(0),
+        jax.tree.map(jnp.zeros_like, stats),
+    )
+    restored = resume_or_load(d, blank)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats["backbone"]["base"]["bn"]["mean"]),
+        np.asarray(stats["backbone"]["base"]["bn"]["mean"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats["backbone"]["base"]["bn"]["var"]),
+        np.asarray(stats["backbone"]["base"]["bn"]["var"]),
+    )
+
+
 def test_npz_roundtrip(tmp_path):
     from faster_orefsdet_tpu.config import get_config
     from faster_orefsdet_tpu.pipelines.inference import make_detector
