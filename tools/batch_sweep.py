@@ -1,4 +1,8 @@
 """Batched serving sweep: dispatch-loop + pure-compute throughput per batch."""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

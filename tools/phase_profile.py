@@ -3,6 +3,10 @@
 Each phase is measured like bench.py's headline: N iterations chained with a
 data dependency inside ONE jitted program -> one dispatch, one readback.
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,0 +1,78 @@
+"""Synthetic-ore convergence run (any named config) on the local accelerator.
+
+Usage: python tools/train_synthetic.py [config_name] [iters] [shot]
+Generates a synthetic ore dataset, fine-tunes the detector episodically, and
+reports loss trajectory + train-set AP — the round-1 convergence evidence
+harness (RESULTS.md "Training" table)."""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "finetune_vovnet"
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    shot = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    import dataclasses
+    import tempfile
+
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.data.loader import train_loader
+    from faster_orefsdet_tpu.data.mapper import EpisodicMapper, SupportSampler
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+    from faster_orefsdet_tpu.pipelines.evaluate import encode_support_set, evaluate
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.pipelines.train_step import TrainState, build_train_step
+    from faster_orefsdet_tpu.solver import build_optimizer
+    from faster_orefsdet_tpu.utils.params import init_variables
+
+    cfg = get_config(name)
+    cfg = cfg.replace(
+        fs=dataclasses.replace(cfg.fs, support_shot=shot),
+        solver=dataclasses.replace(cfg.solver, max_iter=iters),
+    )
+    out = tempfile.mkdtemp(prefix="synth_ore_")
+    records, entries = make_synthetic_setup(out, num_images=16, seed=0)
+
+    model = make_detector(cfg)
+    params, batch_stats = init_variables(model, cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer(cfg.solver, params)
+    step = build_train_step(cfg, model, tx)
+    state = TrainState(params, tx.init(params), jnp.asarray(0), batch_stats)
+
+    sampler = SupportSampler(entries)
+    mapper = EpisodicMapper(cfg, sampler, is_train=True)
+    loader = train_loader(records, mapper, cfg.solver.ims_per_batch, seed=0)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    t0 = time.time()
+    for it in range(iters):
+        batch = next(loader)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["total_loss"]))
+        if it % 20 == 0 or it == iters - 1:
+            print(f"it {it:4d}  loss {losses[-1]:.3f}  "
+                  f"({(time.time() - t0) / max(it, 1) * 1000:.0f} ms/it)", flush=True)
+    print(f"loss first20 {np.mean(losses[:20]):.3f} -> last20 {np.mean(losses[-20:]):.3f}")
+
+    cache = encode_support_set(model, state.params, entries, cfg,
+                               batch_stats=state.batch_stats)
+    res = evaluate(model, state.params, cache, records, cfg,
+                   batch_stats=state.batch_stats)
+    print({k: round(v, 2) for k, v in res.items() if k.startswith("AP") or k == "fps"})
+
+
+if __name__ == "__main__":
+    main()
