@@ -94,7 +94,8 @@ def main():
             from ..parallel.eval_dp import evaluate_sharded
 
             results = evaluate_sharded(
-                model, params, cache, records, cfg, make_mesh(n_dev)
+                model, params, cache, records, cfg, make_mesh(n_dev),
+                batch_stats=batch_stats,
             )
         else:
             results = evaluate(

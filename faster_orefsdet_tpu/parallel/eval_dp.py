@@ -33,8 +33,10 @@ def evaluate_sharded(
     cfg: Config,
     mesh: Mesh,
     canvas_hw: Optional[Tuple[int, int]] = None,
+    batch_stats=None,
 ) -> Dict[str, float]:
-    """COCO AP over `records`, with inference batches sharded over the mesh."""
+    """COCO AP over `records`, with inference batches sharded over the mesh.
+    batch_stats: BN running stats for dla.norm="BN" models (replicated)."""
     n_dev = mesh.devices.size
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
     infer = build_batched_inference_fn(cfg, model)
@@ -43,6 +45,8 @@ def evaluate_sharded(
     rep = NamedSharding(mesh, P())
     params = jax.device_put(params, rep)
     cache = jax.device_put(cache, rep)
+    if batch_stats is not None:
+        batch_stats = jax.device_put(batch_stats, rep)
 
     evaluator = COCOEvaluator()
     pending: List = []
@@ -60,7 +64,7 @@ def evaluate_sharded(
         )
         imgs = jax.device_put(imgs, batch_sharding)
         hws = jax.device_put(hws, batch_sharding)
-        det = infer(params, cache, imgs, hws)
+        det = infer(params, cache, imgs, hws, batch_stats)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         valid = np.asarray(det.valid)
