@@ -241,8 +241,11 @@ def finetune_vovnet_kshot(shot: int) -> Config:
 
 def finetune_r50_c4_1x() -> Config:
     """configs/fsod/finetune_R_50_C4_1x.yaml: CenterNet2Detector over
-    ResNet-50 + FPN (res3-res5 → P3-P5)."""
-    return Config(backbone_name="resnet_fpn")
+    ResNet-50 + FPN (res3-res5 → P3-P5). The yaml shrinks the main ROI
+    pooler to 4x4 (ROI_BOX_HEAD.POOLER_RESOLUTION: 4; pooler2 stays 4,
+    fewx/config/config.py:66)."""
+    cfg = Config(backbone_name="resnet_fpn")
+    return cfg.replace(roi=dataclasses.replace(cfg.roi, pooler_resolution=4))
 
 
 def finetune_dla() -> Config:
