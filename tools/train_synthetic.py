@@ -41,6 +41,9 @@ def main():
         fs=dataclasses.replace(cfg.fs, support_shot=shot),
         solver=dataclasses.replace(cfg.solver, max_iter=iters),
     )
+    if len(sys.argv) > 4:  # optional single train scale, e.g. 320
+        ms = int(sys.argv[4])
+        cfg = cfg.replace(input=dataclasses.replace(cfg.input, min_size_train=(ms,)))
     out = tempfile.mkdtemp(prefix="synth_ore_")
     records, entries = make_synthetic_setup(out, num_images=16, seed=0)
 
