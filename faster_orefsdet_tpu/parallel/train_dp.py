@@ -81,7 +81,7 @@ def build_dp_train_step(
             mesh=mesh,
             in_specs=(state_specs, batch_specs, P()),
             out_specs=(state_specs, P()),
-            check_rep=False,
+            check_vma=False,
         )
 
     @jax.jit
