@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--params", help=".npz params (random init if omitted)")
     p.add_argument("--support-index", required=True)
     p.add_argument("--confidence", type=float, default=0.3)
+    p.add_argument(
+        "--debug", action="store_true",
+        help="also dump per-level predicted-heatmap overlays (the cfg.DEBUG "
+             "debug_test path, CenterNet2 debug.py:141-215) into --output",
+    )
     p.add_argument("opts", nargs="*")
     return p.parse_args()
 
@@ -105,6 +110,34 @@ def main():
         print(f"{path}: {len(scores)} detections ({n_vis} ≥ {args.confidence}) in {dt:.3f}s")
         out = draw_detections(img, boxes, scores, args.confidence)
         cv2.imwrite(os.path.join(args.output, os.path.basename(path)), out)
+
+        if args.debug:
+            # debug_test overlays: re-run the proposal stages unjitted to
+            # expose the per-level heatmaps (debug.py:141-215 equivalent)
+            from ..models.centernet import decode_proposals
+            from ..models.detector import support_kernels
+            from ..utils.debug_vis import debug_test
+
+            variables = {"params": params}
+            feats = model.apply(variables, jnp.asarray(canvas)[None],
+                                method=model.features)
+            kernels = {k: support_kernels(getattr(cache, k))
+                       for k in ("p3", "p4", "p5")}
+            pos = model.apply(variables, feats, kernels, method=model.correlate)
+            hms, regs = model.apply(variables, pos, method=model.proposal_head)
+            props = decode_proposals(
+                [h[0] for h in hms], [r[0] for r in regs], cfg.centernet,
+                (canvas.shape[0], canvas.shape[1]),
+                jnp.asarray([float(newh), float(neww)]), training=False,
+            )
+            stem = os.path.splitext(os.path.basename(path))[0]
+            debug_test(
+                canvas, [jax.nn.sigmoid(h[0]) for h in hms], props,
+                args.output, prefix=f"{stem}_debug",
+                vis_thresh=args.confidence,
+                pixel_mean=cfg.input.pixel_mean, pixel_std=cfg.input.pixel_std,
+            )
+            print(f"  debug overlays -> {args.output}/{stem}_debug_*.png")
 
 
 if __name__ == "__main__":
