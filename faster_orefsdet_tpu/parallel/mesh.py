@@ -20,6 +20,14 @@ from jax.sharding import Mesh
 def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh: requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible "
+                f"(platform={devices[0].platform}). Refusing to silently "
+                "truncate — pin jax_num_cpu_devices (tests/conftest.py) or "
+                "run on hardware with enough chips."
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -20,6 +20,10 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (subprocess compiles)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
