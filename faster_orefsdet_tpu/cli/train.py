@@ -26,6 +26,11 @@ import time
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="finetune_vovnet")
+    p.add_argument(
+        "--config-file",
+        help="detectron2-style yaml with _BASE_ inheritance (configs/fsod/*.yaml);"
+        " overrides --config",
+    )
     p.add_argument("--train-json")
     p.add_argument("--train-images")
     p.add_argument("--test-json")
@@ -65,7 +70,12 @@ def main():
     from ..utils.events import EventLogger
     from ..utils.params import init_variables
 
-    cfg = get_config(args.config)
+    if args.config_file:
+        from ..config_yaml import load_yaml_config
+
+        cfg = load_yaml_config(args.config_file)
+    else:
+        cfg = get_config(args.config)
     cfg = apply_overrides(cfg, args.opts)
     if args.output_dir:
         cfg = cfg.replace(output_dir=args.output_dir)

@@ -243,16 +243,32 @@ def finetune_r50_c4_1x() -> Config:
     """configs/fsod/finetune_R_50_C4_1x.yaml: CenterNet2Detector over
     ResNet-50 + FPN (res3-res5 → P3-P5). The yaml shrinks the main ROI
     pooler to 4x4 (ROI_BOX_HEAD.POOLER_RESOLUTION: 4; pooler2 stays 4,
-    fewx/config/config.py:66)."""
-    cfg = Config(backbone_name="resnet_fpn")
-    return cfg.replace(roi=dataclasses.replace(cfg.roi, pooler_resolution=4))
+    fewx/config/config.py:66), runs 9-shot support, and steps the LR at
+    (10000, 12000)."""
+    cfg = Config(backbone_name="resnet_fpn", output_dir="./output/fsod/r50")
+    return cfg.replace(
+        roi=dataclasses.replace(cfg.roi, pooler_resolution=4),
+        fpn=dataclasses.replace(cfg.fpn, in_features=("res3", "res4", "res5")),
+        fs=dataclasses.replace(cfg.fs, support_shot=9),
+        solver=dataclasses.replace(cfg.solver, steps=(10000, 12000)),
+    )
 
 
 def finetune_dla() -> Config:
     """configs/fsod/finetune_dla.yaml: CenterNet2Detector over DLA-34 +
-    BiFPN (160 channels, build_p35_fcos_dla_bifpn_backbone)."""
-    cfg = Config(backbone_name="dla_bifpn")
-    return cfg.replace(fpn=dataclasses.replace(cfg.fpn, out_channels=160))
+    BiFPN (160 channels, build_p35_fcos_dla_bifpn_backbone), 7x7 main ROI
+    pooler, final-NMS 0.9 also for the proposal stage (NMS_TH_TEST: 0.9),
+    9-shot support, LR steps (10000, 12000), 12100 iters."""
+    cfg = Config(backbone_name="dla_bifpn", output_dir="./output/fsod/dla")
+    return cfg.replace(
+        fpn=dataclasses.replace(
+            cfg.fpn, out_channels=160, in_features=("dla3", "dla4", "dla5")
+        ),
+        roi=dataclasses.replace(cfg.roi, pooler_resolution=7),
+        centernet=dataclasses.replace(cfg.centernet, nms_thresh_test=0.9),
+        fs=dataclasses.replace(cfg.fs, support_shot=9),
+        solver=dataclasses.replace(cfg.solver, steps=(10000, 12000), max_iter=12100),
+    )
 
 
 _NAMED_CONFIGS = {
