@@ -1,14 +1,20 @@
-"""Single-image / glob demo with box visualization — the demo.py equivalent.
+"""Single-image / glob / video / webcam demo with box visualization — the
+demo.py equivalent.
 
 Usage:
   python -m faster_orefsdet_tpu.cli.demo \
       --input 'directory/*.png' --output results/ \
       --params model_final.npz --support-index support_index.json \
       [--confidence 0.3]
+  python -m faster_orefsdet_tpu.cli.demo --video-input clip.mp4 \
+      --output results/clip_out.mp4 --support-index support_index.json
+  python -m faster_orefsdet_tpu.cli.demo --webcam \
+      --output results/webcam.mp4 --max-frames 100 --support-index ...
 
-Mirrors demo.py:93-193 + predictor.py (VisualizationDemo): preprocess at
-MIN_SIZE_TEST, run the jitted query path against the support cache, draw
-scored boxes, and print per-stage timings."""
+Mirrors demo.py:93-193 + predictor.py (VisualizationDemo/VideoVisualizer):
+preprocess at MIN_SIZE_TEST, run the jitted query path against the support
+cache, draw scored boxes, and print per-stage timings. Video frames share one
+canvas size so the query path compiles exactly once per stream."""
 
 from __future__ import annotations
 
@@ -21,7 +27,18 @@ import time
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="finetune_vovnet")
-    p.add_argument("--input", required=True, help="image path or glob")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="image path or glob")
+    src.add_argument("--video-input", help="video file (reference demo.py:116-162)")
+    src.add_argument(
+        "--webcam", action="store_true",
+        help="read camera 0 (reference demo.py:104-115); frames are written "
+        "to --output (headless-safe, no imshow window)",
+    )
+    p.add_argument(
+        "--max-frames", type=int, default=0,
+        help="stop video/webcam after N frames (0 = whole stream)",
+    )
     p.add_argument("--output", default="results")
     p.add_argument("--params", help=".npz params (random init if omitted)")
     p.add_argument("--support-index", required=True)
@@ -64,7 +81,7 @@ def main():
     from ..data.coco import load_support_index
     from ..pipelines.evaluate import encode_support_set
     from ..pipelines.inference import build_inference_fn, make_detector
-    from ..pipelines.preprocess import preprocess_host
+    from ..pipelines.preprocess import preprocess_host, resize_shortest_edge_size
     from ..utils.checkpoint import load_params_npz
     from ..utils.params import init_params
 
@@ -80,17 +97,10 @@ def main():
     print(f"support cache built in {time.perf_counter() - t0:.2f}s")
 
     infer = build_inference_fn(cfg, model)
-    os.makedirs(args.output, exist_ok=True)
-    paths = sorted(glob.glob(args.input)) or [args.input]
-    for path in paths:
-        img = cv2.imread(path)
-        if img is None:
-            print(f"skip unreadable {path}")
-            continue
-        nh, nw = img.shape[:2]
-        canvas_hw = None
-        from ..pipelines.preprocess import resize_shortest_edge_size
 
+    def detect_frame(img):
+        """BGR frame → (boxes, scores, preprocessed canvas, resized hw)."""
+        nh, nw = img.shape[:2]
         rh, rw = resize_shortest_edge_size(
             nh, nw, cfg.input.min_size_test, cfg.input.max_size_test
         )
@@ -99,13 +109,64 @@ def main():
             img, cfg.input.min_size_test, cfg.input.max_size_test, canvas_hw,
             cfg.input.pixel_mean, cfg.input.pixel_std,
         )
-        t0 = time.perf_counter()
-        det = infer(params, cache, jnp.asarray(canvas), jnp.asarray([float(newh), float(neww)]))
+        det = infer(
+            params, cache, jnp.asarray(canvas), jnp.asarray([float(newh), float(neww)])
+        )
         det.boxes.block_until_ready()
-        dt = time.perf_counter() - t0
         boxes = np.asarray(det.boxes)[np.asarray(det.valid)]
         scores = np.asarray(det.scores)[np.asarray(det.valid)]
         boxes = boxes * np.asarray([sx, sy, sx, sy])
+        return boxes, scores, canvas, (newh, neww)
+
+    if args.video_input or args.webcam:
+        # frame-loop inference + rendered output video (demo.py:104-162,
+        # predictor.py VideoVisualizer :84-148); frames are constant-size so
+        # the jitted query path compiles once on the first frame
+        source = 0 if args.webcam else args.video_input
+        cap = cv2.VideoCapture(source)
+        if not cap.isOpened():
+            raise SystemExit(f"cannot open video source {source!r}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        if args.output.lower().endswith((".mp4", ".avi", ".mkv")):
+            out_path = args.output
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        else:
+            os.makedirs(args.output, exist_ok=True)
+            stem = "webcam" if args.webcam else os.path.splitext(
+                os.path.basename(args.video_input))[0]
+            out_path = os.path.join(args.output, f"{stem}_out.mp4")
+        fourcc = cv2.VideoWriter_fourcc(*("mp4v" if out_path.endswith(".mp4") else "MJPG"))
+        writer = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+        n, t_total = 0, 0.0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (args.max_frames and n >= args.max_frames):
+                break
+            t0 = time.perf_counter()
+            boxes, scores, _, _ = detect_frame(frame)
+            t_total += time.perf_counter() - t0
+            writer.write(draw_detections(frame, boxes, scores, args.confidence))
+            n += 1
+            if n % 25 == 0:
+                print(f"frame {n}: {len(scores)} dets, "
+                      f"{n / max(t_total, 1e-9):.1f} fps (incl. first compile)")
+        cap.release()
+        writer.release()
+        print(f"{n} frames -> {out_path} ({n / max(t_total, 1e-9):.1f} fps)")
+        return
+
+    os.makedirs(args.output, exist_ok=True)
+    paths = sorted(glob.glob(args.input)) or [args.input]
+    for path in paths:
+        img = cv2.imread(path)
+        if img is None:
+            print(f"skip unreadable {path}")
+            continue
+        t0 = time.perf_counter()
+        boxes, scores, canvas, (newh, neww) = detect_frame(img)
+        dt = time.perf_counter() - t0
         n_vis = int((scores >= args.confidence).sum())
         print(f"{path}: {len(scores)} detections ({n_vis} ≥ {args.confidence}) in {dt:.3f}s")
         out = draw_detections(img, boxes, scores, args.confidence)

@@ -42,3 +42,95 @@ def test_demo_cli_with_debug(tmp_path, monkeypatch):
     dbg = glob.glob(os.path.join(out, "*_debug_*.png"))
     # 3 per-level heatmaps + 1 proposal blend
     assert len(dbg) == 4, dbg
+
+
+def test_demo_cli_video_input(tmp_path, monkeypatch):
+    """--video-input frame-loop parity (reference demo.py:116-162): synthetic
+    10-frame clip in → rendered 10-frame clip out."""
+    import cv2
+    import numpy as np
+
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    records, entries = make_synthetic_setup(str(tmp_path / "data"), num_images=3,
+                                            seed=0, crop_size=96)
+    idx = str(tmp_path / "support_index.json")
+    save_support_index(idx, entries)
+
+    clip = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    base = cv2.imread(records[0].file_name)
+    base = cv2.resize(base, (128, 96))
+    for i in range(10):
+        writer.write(np.roll(base, i * 3, axis=1))
+    writer.release()
+
+    out_vid = str(tmp_path / "out" / "clip_out.mp4")
+    argv = [
+        "demo",
+        "--video-input", clip,
+        "--output", out_vid,
+        "--support-index", idx,
+        "--confidence", "0.0",
+        "--config", "finetune_vovnet",
+        "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
+        "roi.detections_per_image=8",
+        "input.min_size_test=96", "input.max_size_test=160",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    main()
+    cap = cv2.VideoCapture(out_vid)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (96, 128, 3)
+        n += 1
+    cap.release()
+    assert n == 10
+
+
+def test_demo_cli_max_frames(tmp_path, monkeypatch):
+    """--max-frames truncates the stream (webcam-style bounded capture)."""
+    import cv2
+    import numpy as np
+
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    records, entries = make_synthetic_setup(str(tmp_path / "data"), num_images=3,
+                                            seed=1, crop_size=96)
+    idx = str(tmp_path / "support_index.json")
+    save_support_index(idx, entries)
+    clip = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    base = cv2.resize(cv2.imread(records[0].file_name), (128, 96))
+    for _ in range(8):
+        writer.write(base)
+    writer.release()
+
+    out_dir = str(tmp_path / "outdir")
+    argv = [
+        "demo", "--video-input", clip, "--output", out_dir, "--max-frames", "3",
+        "--support-index", idx, "--confidence", "0.0",
+        "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
+        "roi.detections_per_image=8",
+        "input.min_size_test=96", "input.max_size_test=160",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    main()
+    cap = cv2.VideoCapture(os.path.join(out_dir, "clip_out.mp4"))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3
