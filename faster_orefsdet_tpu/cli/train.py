@@ -55,7 +55,7 @@ def main():
 
     from ..config import apply_overrides, get_config
     from ..data.coco import load_coco_json, load_support_index, split_per_class
-    from ..data.loader import collate, train_loader
+    from ..data.loader import collate, train_canvas, train_loader
     from ..data.mapper import EpisodicMapper, SupportSampler
     from ..pipelines.evaluate import encode_support_set, evaluate
     from ..pipelines.inference import make_detector
@@ -67,7 +67,7 @@ def main():
         save_checkpoint,
         save_params_npz,
     )
-    from ..utils.events import EventLogger
+    from ..utils.events import EventLogger, drain_device_metrics
     from ..utils.params import init_variables
 
     if args.config_file:
@@ -117,7 +117,8 @@ def main():
     # ---- training
     records = split_per_class(load_coco_json(args.train_json, args.train_images))
     sampler = SupportSampler(support_entries)
-    mapper = EpisodicMapper(cfg, sampler, is_train=True)
+    mapper = EpisodicMapper(cfg, sampler, is_train=True,
+                            canvas_hw=train_canvas(records, cfg))
     loader = train_loader(records, mapper, cfg.solver.ims_per_batch, seed=cfg.seed)
 
     tx = build_optimizer(cfg.solver, params)
@@ -145,13 +146,18 @@ def main():
     max_iter = args.max_iter or cfg.solver.max_iter
     rng = jax.random.PRNGKey(cfg.seed + 1)
     start = int(state.step)
+    pending = []  # (step, device metrics) — drained in one readback per period
     for it in range(start, max_iter):
         batch = next(loader)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
-        logger.log(it, {k: float(v) for k, v in metrics.items()})
+        pending.append((it, metrics))
+        if len(pending) >= logger.period or it + 1 == max_iter:
+            for s, m in drain_device_metrics(pending):
+                logger.log(s, m)
+            pending = []
         if (it + 1) % cfg.solver.checkpoint_period == 0 or it + 1 == max_iter:
             save_checkpoint(ckpt_dir, state, it + 1)
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)

@@ -28,7 +28,33 @@ from .coco import ImageRecord
 from .mapper import EpisodicMapper, MappedExample
 
 
-def collate(examples: Sequence[MappedExample]) -> TrainBatch:
+def collate(
+    examples: Sequence[MappedExample], device_sup_cache: Optional[dict] = None,
+    device_sup_cache_max: int = 256,
+) -> TrainBatch:
+    """Stack examples into a fixed-shape TrainBatch (raw uint8 images —
+    normalization runs inside the jitted step, train_step.prepare_batch).
+
+    device_sup_cache: optional {support_key: device_array} memo. Support
+    stacks are deterministic per record (mapper seeding), so recurring
+    epochs re-upload the same ~1 MB stack every step; keeping them resident
+    on device turns that into a device-side stack (no host->device bytes —
+    the dominant per-step transfer on a relayed TPU link)."""
+    if device_sup_cache is not None and all(
+        e.support_key is not None for e in examples
+    ):
+        sups = []
+        for e in examples:
+            arr = device_sup_cache.get(e.support_key)
+            if arr is None:
+                if len(device_sup_cache) >= device_sup_cache_max:
+                    device_sup_cache.pop(next(iter(device_sup_cache)))
+                arr = jnp.asarray(e.support_images)
+                device_sup_cache[e.support_key] = arr
+            sups.append(arr)
+        support_images = jnp.stack(sups) if len(sups) > 1 else sups[0][None]
+    else:
+        support_images = jnp.asarray(np.stack([e.support_images for e in examples]))
     return TrainBatch(
         images=jnp.asarray(np.stack([e.image for e in examples])),
         image_hw=jnp.asarray(
@@ -37,7 +63,7 @@ def collate(examples: Sequence[MappedExample]) -> TrainBatch:
         gt_boxes=jnp.asarray(np.stack([e.gt_boxes for e in examples])),
         gt_classes=jnp.asarray(np.stack([e.gt_classes for e in examples])),
         gt_valid=jnp.asarray(np.stack([e.gt_valid for e in examples])),
-        support_images=jnp.asarray(np.stack([e.support_images for e in examples])),
+        support_images=support_images,
         support_boxes=jnp.asarray(np.stack([e.support_boxes for e in examples])),
     )
 
@@ -56,6 +82,7 @@ def train_loader(
     the reference groups by aspect ratio is exactly that mixed orientations
     can't share a batch tensor)."""
     rng = np.random.default_rng(seed)
+    dev_sup: dict = {}
 
     def produce(q: Queue):
         buckets = {}
@@ -66,7 +93,7 @@ def train_loader(
                 key = ex.image.shape[:2]
                 buckets.setdefault(key, []).append(ex)
                 if len(buckets[key]) == batch_size:
-                    q.put(collate(buckets.pop(key)))
+                    q.put(collate(buckets.pop(key), device_sup_cache=dev_sup))
 
     q: Queue = Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -106,6 +133,25 @@ def eval_loader(
             cfg.input.pixel_std,
         )
         yield rec, jnp.asarray(canvas), (newh, neww), scale
+
+
+def train_canvas(records: Sequence[ImageRecord], cfg: Config) -> Tuple[int, int]:
+    """Tight worst-case training canvas (short_side, long_side) over the
+    dataset x all train scales, ceil-32.
+
+    The mapper's config-only default must assume the long side can reach
+    max_size_train (1333); real datasets have bounded aspect ratios, so
+    deriving the canvas from the records can shrink the padded area (and
+    device FLOPs per step) severalfold. Orientation is still chosen per
+    image; the loader groups batches by canvas shape."""
+    ms, ml = 32, 32
+    for rec in records:
+        for short in cfg.input.min_size_train:
+            nh, nw = resize_shortest_edge_size(
+                rec.height, rec.width, short, cfg.input.max_size_train
+            )
+            ms, ml = max(ms, min(nh, nw)), max(ml, max(nh, nw))
+    return (-(-ms // 32) * 32, -(-ml // 32) * 32)
 
 
 def eval_canvas(records: Sequence[ImageRecord], cfg: Config) -> Tuple[int, int]:

@@ -6,6 +6,13 @@ the query's class — excluding the query image itself and never reusing an
 annotation or image (:211-227) — deterministically seeded by the query's
 first annotation id (pandas sample(random_state=id), :223). Query gets
 multi-scale resize-shortest-edge + random flip.
+
+TPU divergence from the reference's 8-worker torch pipeline: the mapper
+emits RAW uint8 canvases (zero-padded) and defers normalization to the
+jitted train step (pipelines/train_step.prepare_batch) — 4x less
+host->device traffic and zero host float math. Decoded images and the
+per-record support stacks (deterministic by construction: the sample seed
+is the query's annotation id) are cached in RAM up to `cache_bytes`.
 """
 
 from __future__ import annotations
@@ -82,26 +89,64 @@ class SupportSampler:
         return out
 
 
+class _ByteBudgetCache:
+    """Insertion-order (FIFO) byte-budgeted cache of numpy arrays / tuples."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._data: Dict = {}
+        self._bytes = 0
+
+    @staticmethod
+    def _nbytes(value) -> int:
+        if isinstance(value, np.ndarray):
+            return value.nbytes
+        return sum(v.nbytes for v in value if isinstance(v, np.ndarray))
+
+    def get(self, key):
+        return self._data.get(key)
+
+    def put(self, key, value):
+        if key in self._data:
+            return
+        n = self._nbytes(value)
+        if n > self.max_bytes:
+            return
+        while self._bytes + n > self.max_bytes and self._data:
+            old = self._data.pop(next(iter(self._data)))
+            self._bytes -= self._nbytes(old)
+        self._data[key] = value
+        self._bytes += n
+
+
 @dataclasses.dataclass
 class MappedExample:
     """Fixed-shape numpy tensors for one training example."""
 
-    image: np.ndarray  # [Hc, Wc, 3] normalized
+    image: np.ndarray  # [Hc, Wc, 3] raw uint8, zero-padded (normalize on device)
     image_hw: Tuple[int, int]
     gt_boxes: np.ndarray  # [N, 4]
     gt_classes: np.ndarray  # [N]
     gt_valid: np.ndarray  # [N]
-    support_images: np.ndarray  # [S, hs, ws, 3] normalized padded
+    support_images: np.ndarray  # [S, hs, ws, 3] raw uint8, zero-padded
     support_boxes: np.ndarray  # [S, 4]
     support_classes: np.ndarray  # [S] 0 = positive way (mapper :238,266)
+    # stable identity of the (deterministic) support stack — lets the loader
+    # keep recurring stacks resident on device instead of re-uploading
+    support_key: Optional[Tuple[int, int]] = None
 
 
 class EpisodicMapper:
     def __init__(self, cfg: Config, sampler: SupportSampler, is_train: bool = True,
-                 canvas_hw: Optional[Tuple[int, int]] = None):
+                 canvas_hw: Optional[Tuple[int, int]] = None,
+                 cache_bytes: int = 1 << 30):
         self.cfg = cfg
         self.sampler = sampler
         self.is_train = is_train
+        # decoded-image + per-record support-stack caches (support stacks are
+        # deterministic: sampling is seeded by the query's annotation id)
+        self._img_cache = _ByteBudgetCache(cache_bytes)
+        self._sup_cache = _ByteBudgetCache(cache_bytes // 2)
         inp = cfg.input
         if canvas_hw is None:
             # worst-case canvas from the config: short side up to
@@ -117,19 +162,25 @@ class EpisodicMapper:
         cs = cfg.fs.support_crop_size
         self.support_canvas = (-(-cs // 32) * 32, -(-cs // 32) * 32)  # 240→256
 
-    def __call__(self, record: ImageRecord, rng: np.random.Generator) -> MappedExample:
-        import cv2
+    def _read(self, path: str) -> np.ndarray:
+        img = self._img_cache.get(path)
+        if img is None:
+            import cv2
 
+            img = cv2.imread(path)  # BGR, matching INPUT.FORMAT
+            assert img is not None, path
+            self._img_cache.put(path, img)
+        return img
+
+    def __call__(self, record: ImageRecord, rng: np.random.Generator) -> MappedExample:
         from ..pipelines.preprocess import (
-            normalize,
             pad_to_canvas,
             resize_image_host,
             resize_shortest_edge_size,
         )
 
         cfg = self.cfg
-        img = cv2.imread(record.file_name)  # BGR, matching INPUT.FORMAT
-        assert img is not None, record.file_name
+        img = self._read(record.file_name)
         h, w = img.shape[:2]
 
         if self.is_train:
@@ -154,9 +205,7 @@ class EpisodicMapper:
         # groups batches by canvas shape (aspect-ratio grouping)
         ch, cw = self.canvas_hw
         canvas_hw = (ch, cw) if neww >= newh else (cw, ch)
-        canvas = pad_to_canvas(
-            normalize(resized, cfg.input.pixel_mean, cfg.input.pixel_std), canvas_hw
-        )
+        canvas = pad_to_canvas(np.ascontiguousarray(resized, np.uint8), canvas_hw)
 
         n_max = cfg.static.max_gt_per_image
         gt_boxes = np.zeros((n_max, 4), np.float32)
@@ -166,33 +215,38 @@ class EpisodicMapper:
         gt_boxes[:n] = boxes[:n]
         gt_valid[:n] = True
 
-        # ---- supports (deterministic per-annotation-id seed, :223)
-        way, shot = cfg.fs.support_way, cfg.fs.support_shot
-        seed = record.annotations[0].id if record.annotations else record.image_id
-        entries = self.sampler.sample(
-            record.annotations[0].category_id if record.annotations else 0,
-            record.image_id,
-            [a.id for a in record.annotations],
-            way,
-            shot,
-            seed,
-        )
-        s = way * shot
-        cs = cfg.fs.support_crop_size
-        sup_imgs = np.zeros((s, *self.support_canvas, 3), np.float32)
-        sup_boxes = np.zeros((s, 4), np.float32)
-        sup_classes = np.zeros((s,), np.int32)
-        for i, e in enumerate(entries[:s]):
-            crop = cv2.imread(e.file_path)
-            assert crop is not None, e.file_path
-            if crop.shape[:2] != (cs, cs):
-                crop = cv2.resize(crop, (cs, cs))
-            sup_imgs[i] = pad_to_canvas(
-                normalize(crop, cfg.input.pixel_mean, cfg.input.pixel_std),
-                self.support_canvas,
+        # ---- supports (deterministic per-annotation-id seed, :223) — the
+        # whole stack is a pure function of the record, so it caches exactly
+        sup_key = (record.image_id, record.annotations[0].id if record.annotations else -1)
+        cached = self._sup_cache.get(sup_key)
+        if cached is not None:
+            sup_imgs, sup_boxes, sup_classes = cached
+        else:
+            import cv2
+
+            way, shot = cfg.fs.support_way, cfg.fs.support_shot
+            seed = record.annotations[0].id if record.annotations else record.image_id
+            entries = self.sampler.sample(
+                record.annotations[0].category_id if record.annotations else 0,
+                record.image_id,
+                [a.id for a in record.annotations],
+                way,
+                shot,
+                seed,
             )
-            sup_boxes[i] = e.support_box
-            sup_classes[i] = 0 if i < shot else 1
+            s = way * shot
+            cs = cfg.fs.support_crop_size
+            sup_imgs = np.zeros((s, *self.support_canvas, 3), np.uint8)
+            sup_boxes = np.zeros((s, 4), np.float32)
+            sup_classes = np.zeros((s,), np.int32)
+            for i, e in enumerate(entries[:s]):
+                crop = self._read(e.file_path)
+                if crop.shape[:2] != (cs, cs):
+                    crop = cv2.resize(crop, (cs, cs))
+                sup_imgs[i, :cs, :cs] = crop
+                sup_boxes[i] = e.support_box
+                sup_classes[i] = 0 if i < shot else 1
+            self._sup_cache.put(sup_key, (sup_imgs, sup_boxes, sup_classes))
         return MappedExample(
             image=canvas,
             image_hw=(newh, neww),
@@ -202,4 +256,5 @@ class EpisodicMapper:
             support_images=sup_imgs,
             support_boxes=sup_boxes,
             support_classes=sup_classes,
+            support_key=sup_key,
         )

@@ -55,11 +55,13 @@ def normalize(img: np.ndarray, pixel_mean, pixel_std) -> np.ndarray:
 
 
 def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
-    """Zero-pad bottom/right to the canvas (ImageList.from_tensors semantics)."""
+    """Zero-pad bottom/right to the canvas (ImageList.from_tensors semantics).
+    Dtype-preserving: f32 on the normalized eval path, uint8 on the raw
+    train path (normalization happens on device there)."""
     h, w = img.shape[:2]
     ch, cw = canvas_hw
     assert h <= ch and w <= cw, (img.shape, canvas_hw)
-    out = np.zeros((ch, cw, img.shape[2]), np.float32)
+    out = np.zeros((ch, cw, img.shape[2]), img.dtype)
     out[:h, :w] = img
     return out
 

@@ -56,6 +56,31 @@ class TrainBatch(NamedTuple):
     support_boxes: jnp.ndarray
 
 
+def prepare_batch(batch: TrainBatch, cfg: Config) -> TrainBatch:
+    """Device-side normalization of raw uint8 batches (trace-time dispatch).
+
+    The mapper ships raw uint8 canvases (4x less host->device traffic —
+    data/mapper.py); (x - mean)/std runs on device, fused by XLA into the
+    first conv, and the padding region is re-zeroed to match the reference's
+    normalize-then-pad order (fsod_cen.py:544-546 — pad pixels hold 0, not
+    -mean/std). Already-normalized float batches pass through unchanged.
+    """
+    if batch.images.dtype != jnp.uint8:
+        return batch
+    mean = jnp.asarray(cfg.input.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.input.pixel_std, jnp.float32)
+    x = (batch.images.astype(jnp.float32) - mean) / std
+    hc, wc = x.shape[1:3]
+    row_ok = jnp.arange(hc)[None, :] < batch.image_hw[:, 0, None]  # [B, Hc]
+    col_ok = jnp.arange(wc)[None, :] < batch.image_hw[:, 1, None]  # [B, Wc]
+    x = x * (row_ok[:, :, None] & col_ok[:, None, :])[..., None]
+    sup = (batch.support_images.astype(jnp.float32) - mean) / std
+    cs = cfg.fs.support_crop_size  # support valid region is static (mapper)
+    sup = sup.at[:, :, cs:, :, :].set(0.0)
+    sup = sup.at[:, :, :, cs:, :].set(0.0)
+    return batch._replace(images=x, support_images=sup)
+
+
 class TrainState(NamedTuple):
     params: Dict
     opt_state: optax.OptState
@@ -78,6 +103,7 @@ def loss_fn(
     new_batch_stats)) — the two backbone passes run in BN train mode and the
     running stats update sequentially (query pass then support pass, the
     reference's forward order, fsod_cen.py:165→177)."""
+    batch = prepare_batch(batch, cfg)
     variables = {"params": params}
     b = batch.images.shape[0]
     s = batch.support_images.shape[1]

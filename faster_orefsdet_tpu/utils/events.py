@@ -14,6 +14,31 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 
+def drain_device_metrics(window):
+    """[(step, {k: device_scalar})] -> [(step, {k: float})] with ONE host
+    readback for the whole window.
+
+    Reading each metric back per step (float(v) in the loop) forces a full
+    device sync every iteration, serializing host data prep against the
+    jitted step; stacking the window into a single buffer keeps the device
+    queue deep and costs one transfer per `period` steps."""
+    if not window:
+        return []
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    keys = sorted(window[0][1])
+    stacked = jnp.stack(
+        [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys]) for _, m in window]
+    )
+    vals = np.asarray(jax.device_get(stacked))
+    return [
+        (step, {k: float(vals[i, j]) for j, k in enumerate(keys)})
+        for i, (step, _) in enumerate(window)
+    ]
+
+
 class EventLogger:
     def __init__(self, output_dir: str, period: int = 20, printer=print,
                  tensorboard: bool = False):

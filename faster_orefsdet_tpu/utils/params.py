@@ -93,3 +93,19 @@ def param_count(params) -> int:
     import numpy as np
 
     return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
+
+
+def cast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Serving-time weight residency cast (float leaves only).
+
+    Flax modules built with dtype=bfloat16 cast f32 params AT USE — the HBM
+    read is still 4 bytes/weight every dispatch. Casting the stored tree once
+    makes the resident copy 2 bytes/weight; modules that compute in f32
+    upcast bf16 weights exactly, so the numerics match the at-use cast.
+    This is the TPU analog of serving the reference model in fp16."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )

@@ -1,0 +1,208 @@
+"""Batched-serving roofline: XLA cost analysis + pure-compute timing.
+
+Round-1 left the batch-128 serving knee unexplained (RESULTS.md:16-17 —
+1693 img/s at 128, 1720 at 256, when amortizing the 22 MB of weights should
+have bought more). This tool compiles the vmapped batch-B query path, prints
+FLOPs / bytes-accessed from compiled.cost_analysis() (the roofline inputs),
+and times R repetitions chained inside ONE XLA program (bench.py headline
+methodology — one dispatch, one readback, immune to relay RPC variance).
+
+Usage:
+  python tools/serving_profile.py [batch] [reps] [bf16|f32|both] [--phases]
+
+--phases adds a per-phase chained breakdown (backbone / cgm+head /
+decode+nms / roi) at the same batch — 4 extra compiles, slow on the relay.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from faster_orefsdet_tpu.config import get_config
+from faster_orefsdet_tpu.pipelines.inference import make_detector, query_path_single
+from faster_orefsdet_tpu.pipelines.support_cache import SupportCache
+from faster_orefsdet_tpu.utils.params import cast_params, init_params
+
+
+def cost_summary(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return {
+        "gflops": round(ca.get("flops", 0.0) / 1e9, 2),
+        "hbm_mb": round(ca.get("bytes accessed", 0.0) / 1e6, 1),
+        **{
+            k.replace("bytes accessed", "mb"): round(v / 1e6, 1)
+            for k, v in ca.items()
+            if k.startswith("bytes accessed") and k != "bytes accessed"
+        },
+    }
+
+
+def main():
+    batch = int(_sys.argv[1]) if len(_sys.argv) > 1 else 128
+    reps = int(_sys.argv[2]) if len(_sys.argv) > 2 else 10
+    which = _sys.argv[3] if len(_sys.argv) > 3 else "both"
+    phases = "--phases" in _sys.argv
+
+    cfg = get_config("finetune_vovnet").replace(compute_dtype="bfloat16")
+    model = make_detector(cfg)
+    params_f32 = init_params(model, cfg, jax.random.PRNGKey(0))
+    c = cfg.fpn.out_channels
+    rng = np.random.default_rng(0)
+    cache = SupportCache(
+        p3=jnp.asarray(rng.standard_normal((32, 32, c), dtype=np.float32)),
+        p4=jnp.asarray(rng.standard_normal((16, 16, c), dtype=np.float32)),
+        p5=jnp.asarray(rng.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_8=jnp.asarray(rng.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_4=jnp.asarray(rng.standard_normal((4, 4, c), dtype=np.float32)),
+    )
+    canvas = (320, 448)
+    images = jnp.asarray(rng.standard_normal((batch, *canvas, 3), dtype=np.float32))
+    hws = jnp.tile(jnp.asarray([320.0, 427.0])[None], (batch, 1))
+
+    def batched_chained(params):
+        def fn(params, cache, images, hws):
+            def body(i, carry):
+                det = jax.vmap(
+                    lambda img, hw: query_path_single(
+                        model, params, cache, img + carry, hw, cfg
+                    )
+                )(images, hws)
+                return jnp.sum(det.scores) * 1e-12
+            return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, images.dtype))
+        return fn
+
+    variants = {"f32": params_f32}
+    if which in ("bf16", "both"):
+        variants["bf16"] = cast_params(params_f32)
+    if which == "bf16":
+        variants.pop("f32")
+
+    for tag, params in variants.items():
+        fn = batched_chained(params)
+        t0 = time.perf_counter()
+        compiled = jax.jit(fn).lower(params, cache, images, hws).compile()
+        print(f"[{tag}] compile {time.perf_counter() - t0:.0f}s")
+        cs = cost_summary(compiled)
+        # per-rep, per-image normalization of the R-chained program
+        per_img = {k: round(v / reps / batch, 3) for k, v in cs.items()}
+        print(f"[{tag}] cost (whole program): {cs}")
+        print(f"[{tag}] cost per image: {per_img}")
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(compiled(params, cache, images, hws))
+            runs.append(time.perf_counter() - t0)
+        sec = min(runs)
+        ips = reps * batch / sec
+        print(f"[{tag}] batch={batch} reps={reps}: {sec*1e3:.1f} ms -> "
+              f"{ips:.0f} img/s ({1e3/ips:.3f} ms/img)", flush=True)
+
+    if phases:
+        from faster_orefsdet_tpu.models.centernet import decode_proposals
+        from faster_orefsdet_tpu.models.cascade_roi import roi_inference
+        from faster_orefsdet_tpu.models.detector import support_kernels
+        from faster_orefsdet_tpu.structures.boxes import apply_deltas
+
+        params = variants.get("bf16", params_f32)
+        variables = {"params": params}
+        kernels = {k: support_kernels(getattr(cache, k)) for k in ("p3", "p4", "p5")}
+        feats = jax.jit(
+            lambda p, im: model.apply({"params": p}, im, method=model.features)
+        )(params, images)
+        agn_hms, bbox_regs = jax.jit(
+            lambda p, f: model.apply(
+                {"params": p},
+                model.apply({"params": p}, f, kernels, method=model.correlate),
+                method=model.proposal_head,
+            )
+        )(params, feats)
+        props = jax.vmap(
+            lambda h3, h4, h5, r3, r4, r5, hw: decode_proposals(
+                [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas, hw, training=False
+            )
+        )(agn_hms[0], agn_hms[1], agn_hms[2],
+          bbox_regs[0], bbox_regs[1], bbox_regs[2], hws)
+
+        def time_phase(name, fn, *args):
+            compiled = jax.jit(fn).lower(*args).compile()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(compiled(*args))
+                runs.append(time.perf_counter() - t0)
+            sec = min(runs)
+            print(f"[phase {name}] {sec/reps/batch*1e6:.0f} us/img "
+                  f"(cost/img: {({k: round(v/reps/batch, 3) for k, v in cost_summary(compiled).items()})})",
+                  flush=True)
+
+        def chain(body):
+            def fn(*args):
+                def step(i, carry):
+                    return body(carry, *args)
+                return jax.lax.fori_loop(0, reps, step, jnp.asarray(0.0, jnp.float32))
+            return fn
+
+        time_phase(
+            "backbone+fpn",
+            chain(lambda c_, p, im: jnp.sum(
+                model.apply({"params": p}, im + c_, method=model.features)["p5"]
+            ).astype(jnp.float32) * 1e-12),
+            params, images,
+        )
+        time_phase(
+            "cgm+head",
+            chain(lambda c_, p, f: sum(
+                jnp.sum(h).astype(jnp.float32) for h in model.apply(
+                    {"params": p},
+                    model.apply(
+                        {"params": p}, {k: v + c_ for k, v in f.items()}, kernels,
+                        method=model.correlate,
+                    ),
+                    method=model.proposal_head,
+                )[0]
+            ) * 1e-12),
+            params, feats,
+        )
+        time_phase(
+            "decode+nms",
+            chain(lambda c_, h3, h4, h5, r3, r4, r5: jnp.sum(jax.vmap(
+                lambda a, b, cc, d, e, f_, hw: decode_proposals(
+                    [a, b, cc], [d, e, f_], cfg.centernet, canvas, hw, training=False
+                ).scores
+            )(h3 + c_, h4, h5, r3, r4, r5, hws)) * 1e-12),
+            agn_hms[0], agn_hms[1], agn_hms[2],
+            bbox_regs[0], bbox_regs[1], bbox_regs[2],
+        )
+
+        def roi_one(carry, p, f3, f4, f5, boxes, valid, scores, hw):
+            feat_list = [f3, f4, f5]
+            outs, bx = [], boxes + carry
+            for stage in range(len(cfg.roi.cascade_ious)):
+                out = model.apply(
+                    {"params": p}, feat_list, bx, cache.rcnn_8, cache.rcnn_4,
+                    stage, method=model.roi_stage,
+                )
+                outs.append(out)
+                bx = apply_deltas(out.deltas, bx, cfg.roi.cascade_bbox_reg_weights[stage])
+            det = roi_inference(outs, bx, valid, hw, cfg.roi, proposal_scores=scores)
+            return jnp.sum(det.scores) * 1e-12
+
+        time_phase(
+            "roi+final-nms",
+            chain(lambda c_, p, f3, f4, f5, bxs, vld, scs: jnp.sum(jax.vmap(
+                lambda a, b, cc, d, e, f_, hw: roi_one(c_, p, a, b, cc, d, e, f_, hw)
+            )(f3, f4, f5, bxs, vld, scs, hws)) ),
+            params, feats["p3"], feats["p4"], feats["p5"],
+            props.boxes, props.valid, props.scores,
+        )
+
+
+if __name__ == "__main__":
+    main()

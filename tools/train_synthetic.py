@@ -27,7 +27,7 @@ def main():
     import tempfile
 
     from faster_orefsdet_tpu.config import get_config
-    from faster_orefsdet_tpu.data.loader import train_loader
+    from faster_orefsdet_tpu.data.loader import train_canvas, train_loader
     from faster_orefsdet_tpu.data.mapper import EpisodicMapper, SupportSampler
     from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
     from faster_orefsdet_tpu.pipelines.evaluate import encode_support_set, evaluate
@@ -54,20 +54,26 @@ def main():
     state = TrainState(params, tx.init(params), jnp.asarray(0), batch_stats)
 
     sampler = SupportSampler(entries)
-    mapper = EpisodicMapper(cfg, sampler, is_train=True)
+    mapper = EpisodicMapper(cfg, sampler, is_train=True,
+                            canvas_hw=train_canvas(records, cfg))
     loader = train_loader(records, mapper, cfg.solver.ims_per_batch, seed=0)
 
     rng = jax.random.PRNGKey(1)
-    losses = []
-    t0 = time.time()
+    losses = []  # device scalars — read back in bulk (keeps the queue deep)
+    tw = time.time()
+    last_it = 0
     for it in range(iters):
         batch = next(loader)
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, sub)
-        losses.append(float(metrics["total_loss"]))
+        losses.append(metrics["total_loss"])
         if it % 20 == 0 or it == iters - 1:
-            print(f"it {it:4d}  loss {losses[-1]:.3f}  "
-                  f"({(time.time() - t0) / max(it, 1) * 1000:.0f} ms/it)", flush=True)
+            now = time.time()  # marginal window ms/it (it 0 = compile)
+            print(f"it {it:4d}  loss {float(losses[-1]):.3f}  "
+                  f"({(now - tw) / max(it - last_it, 1) * 1000:.0f} ms/it)",
+                  flush=True)
+            tw, last_it = time.time(), it
+    losses = np.asarray(jax.device_get(jnp.stack(losses)))
     print(f"loss first20 {np.mean(losses[:20]):.3f} -> last20 {np.mean(losses[-20:]):.3f}")
 
     cache = encode_support_set(model, state.params, entries, cfg,
