@@ -40,9 +40,14 @@ class StageOutput(NamedTuple):
 
 class DSACascadeHead(nn.Module):
     """Parameters + per-stage forward. Orchestration (matching/sampling/NMS)
-    lives in pure functions below so that randomness and losses stay explicit."""
+    lives in pure functions below so that randomness and losses stay explicit.
+
+    dtype: compute dtype for the Dense layers (params stay f32). Without it
+    linen promotes bf16 pooled features back to f32 against the f32 params,
+    doubling the stage's HBM traffic on the bf16 serving path."""
 
     cfg: ROIConfig
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -63,20 +68,26 @@ class DSACascadeHead(nn.Module):
             self.cfg.canonical_level,
         )  # [K, 8, 8, C]
 
-        s8 = jnp.broadcast_to(support_8[None], q8.shape)
+        s8 = jnp.broadcast_to(support_8[None].astype(q8.dtype), q8.shape)
         # DSA fuse (roi_heads.py:508-510): 1x1 convs = per-pixel Dense
-        fused = nn.Dense(c, name="dsa_conv3")(jnp.concatenate([q8, s8], axis=-1))
+        dt = self.dtype
+        fused = nn.Dense(c, dtype=dt, name="dsa_conv3")(
+            jnp.concatenate([q8, s8], axis=-1)
+        )
         branch = jnp.concatenate(
-            [nn.Dense(c // 2, name="dsa_conv1")(q8), nn.Dense(c // 2, name="dsa_conv2")(s8)],
+            [nn.Dense(c // 2, dtype=dt, name="dsa_conv1")(q8),
+             nn.Dense(c // 2, dtype=dt, name="dsa_conv2")(s8)],
             axis=-1,
         )
         attn8 = fused + branch  # [K, 8, 8, C]
 
         x = attn8.reshape(attn8.shape[0], -1)  # flatten (HWC order; converter
         # permutes torch's CHW-major fc1 weight accordingly)
-        x = nn.relu(nn.Dense(self.cfg.fc_dim, name=f"stage{stage}_fc1")(x))
-        scores = nn.Dense(self.cfg.num_classes + 1, name=f"stage{stage}_cls")(x)
-        deltas = nn.Dense(4, name=f"stage{stage}_bbox")(x)
+        x = nn.relu(nn.Dense(self.cfg.fc_dim, dtype=dt, name=f"stage{stage}_fc1")(x))
+        # predictors in f32: their outputs feed box decode / NMS thresholds
+        x32 = x.astype(jnp.float32)
+        scores = nn.Dense(self.cfg.num_classes + 1, name=f"stage{stage}_cls")(x32)
+        deltas = nn.Dense(4, name=f"stage{stage}_bbox")(x32)
         return StageOutput(scores=scores, deltas=deltas)
 
 

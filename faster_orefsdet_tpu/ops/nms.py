@@ -6,8 +6,9 @@ TPU-native replacement for torchvision.ops.nms / detectron2 batched_nms
 
 Under XLA everything is static shape: boxes arrive as a fixed-K array with a
 validity mask; suppression produces a keep-mask rather than a shrunken set.
-The greedy sequential dependency of NMS is honored exactly via lax.fori_loop
-over score-sorted candidates, each step doing one K-wide VPU update.
+The greedy sequential dependency of NMS is honored exactly by a peeling
+fixpoint over the rank-ordered suppression DAG — sort-free (rank built by
+direct score comparison) and O(depth) rounds of K-wide bool reductions.
 """
 
 from __future__ import annotations
@@ -69,15 +70,21 @@ def nms_mask(
       while_loop exits after D rounds (dynamic condition — allowed in XLA).
     """
     k = boxes.shape[0]
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
-    sboxes = boxes[order]
-    svalid = valid[order]
-    iou = pairwise_iou(sboxes, sboxes)
-    # E[i, j]: higher-scored i suppresses j (strict upper triangle in sorted order)
-    tri = jnp.triu(jnp.ones((k, k), dtype=bool), 1)
-    e = (iou > iou_threshold) & tri & svalid[:, None] & svalid[None, :]
-    ef = e.astype(jnp.float32)
+    # NO SORT: the fixpoint only needs the suppression DAG, which a direct
+    # rank comparison builds in place — argsort of K=1024 alone costs ~630 us
+    # on TPU (more than all the rest of the NMS, tools/nms_bench.py), and
+    # dropping it also drops the gather and the final scatter. Ties break by
+    # original index, matching stable descending argsort (torchvision nms).
+    iou = pairwise_iou(boxes, boxes)
+    idx = jnp.arange(k)
+    higher = (scores[:, None] > scores[None, :]) | (
+        (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :])
+    )
+    # E[i, j]: higher-ranked i suppresses j. e kept as BOOL and consumed by
+    # any-reductions: the loop re-reads e twice per round, so 1 byte/entry
+    # instead of an f32 matmul operand cuts the dominant HBM traffic of the
+    # whole decode+NMS stage 4x (tools/serving_profile.py phase table).
+    e = (iou > iou_threshold) & higher & valid[:, None] & valid[None, :]
 
     def cond(state):
         kept, removed, undecided = state
@@ -85,18 +92,19 @@ def nms_mask(
 
     def body(state):
         kept, removed, undecided = state
-        active = (kept | undecided).astype(jnp.float32)
-        blocked = (active @ ef) > 0.0  # j has a live higher-scored overlapper
+        active = kept | undecided
+        # j has a live higher-scored overlapper
+        blocked = jnp.any(e & active[:, None], axis=0)
         newly_kept = undecided & ~blocked
         kept2 = kept | newly_kept
-        crushed = (kept2.astype(jnp.float32) @ ef) > 0.0
+        crushed = jnp.any(e & kept2[:, None], axis=0)
         newly_removed = undecided & crushed
         return kept2, removed | newly_removed, undecided & ~(newly_kept | newly_removed)
 
     kept0 = jnp.zeros((k,), dtype=bool)
-    state = (kept0, kept0, svalid)
+    state = (kept0, kept0, valid)
     kept, _, _ = jax.lax.while_loop(cond, body, state)
-    return jnp.zeros((k,), dtype=bool).at[order].set(kept)
+    return kept
 
 
 def batched_nms_mask(
