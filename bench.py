@@ -18,10 +18,10 @@ immune to the relay's session-dependent per-dispatch RPC cost. Host-side
 dispatch-loop throughput and single-dispatch latency land in `extra`.
 Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the batched serving path and
 BENCH_TRAIN=1 for train-step timing — each adds a slow compile, so the
-default run stays within the driver's budget. Reference figures measured on
-TPU v5e: batch-1 pure compute 984 img/s (19.7x baseline); batched serving
-sweep 64/128/256 -> 1579/1693/1720 img/s pure compute (knee ~128, 33.9x;
-see RESULTS.md).
+default run stays within the driver's budget. Round-2 figures measured on
+TPU v5e: batch-1 pure compute ~1450-1520 img/s (~30x baseline, RTT
+subtracted); batch-128 serving 1993 img/s (Pallas NMS live path, 39.9x;
+roofline analysis in RESULTS.md).
 """
 
 import json
@@ -132,8 +132,17 @@ def main():
     }
 
     if os.environ.get("BENCH_BATCHED") == "1":
+        import dataclasses
+
         batch = int(os.environ.get("BENCH_BATCH_SIZE", "16"))
-        binfer = build_batched_inference_fn(cfg, model)
+        # batched serving takes the Pallas VMEM NMS live path: +5% at batch
+        # 128 (1906 -> 1993 img/s); at batch 1 the per-call setup does not
+        # amortize, so the batch-1 headline keeps the XLA fixpoint.
+        bcfg = cfg.replace(
+            centernet=dataclasses.replace(cfg.centernet, use_pallas_nms=True),
+            roi=dataclasses.replace(cfg.roi, use_pallas_nms=True),
+        )
+        binfer = build_batched_inference_fn(bcfg, make_detector(bcfg))
         images = jnp.asarray(rng.standard_normal((batch, *canvas, 3), dtype=np.float32))
         hws = jnp.tile(hw[None], (batch, 1))
         float(jnp.sum(binfer(params, cache, images, hws).scores))

@@ -90,6 +90,10 @@ class CenterNetConfig:
     post_nms_topk_test: int = 256
     nms_thresh_train: float = 0.9
     nms_thresh_test: float = 0.6
+    # TPU impl choice (no reference analog): run proposal NMS as the Pallas
+    # VMEM-resident kernel (ops/pallas_nms.py) instead of the XLA fixpoint.
+    # Identical results (equivalence-tested); TPU-only, so default off.
+    use_pallas_nms: bool = False
     # Head (CenterNet2/centernet/modeling/dense_heads/centernet_head.py:21-121)
     norm: str = "GN"
     num_cls_convs: int = 1
@@ -123,6 +127,8 @@ class ROIConfig:
     score_thresh_test: float = 0.0
     nms_thresh_test: float = 0.9
     detections_per_image: int = 100
+    # TPU impl choice (see CenterNetConfig.use_pallas_nms)
+    use_pallas_nms: bool = False
     mult_proposal_score: bool = False
     # Effectively OFF at eval: the second _forward_box definition
     # (fsod_roi_heads.py:404) overrides the first (:316) and never multiplies.

@@ -221,7 +221,13 @@ def roi_inference(
     s = fg_scores[:, 0]
     finite = jnp.isfinite(s) & jnp.all(jnp.isfinite(boxes), axis=-1)
     valid = prop_valid & (s > cfg.score_thresh_test) & finite
-    keep = nms_mask(boxes, s, valid, cfg.nms_thresh_test)
+    if getattr(cfg, "use_pallas_nms", False):
+        from ..ops.pallas_nms import nms_mask_pallas, supported as _pallas_ok
+
+        nms_fn = nms_mask_pallas if _pallas_ok(s.shape[0]) else nms_mask
+    else:
+        nms_fn = nms_mask
+    keep = nms_fn(boxes, s, valid, cfg.nms_thresh_test)
     topk = min(cfg.detections_per_image, s.shape[0])
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, s, -1.0), topk)
     return Detections(

@@ -115,7 +115,13 @@ def decode_proposals(
         boxes = boxes[top_idx]
         valid = top_scores > 0.0
 
-    keep = nms_mask(boxes, scores, valid, nms_th)
+    if getattr(cfg, "use_pallas_nms", False):
+        from ..ops.pallas_nms import nms_mask_pallas, supported as _pallas_ok
+
+        nms_fn = nms_mask_pallas if _pallas_ok(scores.shape[0]) else nms_mask
+    else:
+        nms_fn = nms_mask
+    keep = nms_fn(boxes, scores, valid, nms_th)
     post_topk = min(post_topk, scores.shape[0])  # small canvases have fewer cells
     keep = keep_top_scores(scores, keep, post_topk)
 

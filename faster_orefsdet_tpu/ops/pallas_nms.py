@@ -156,3 +156,9 @@ def batched_nms_mask_pallas(
     return nms_mask_pallas(
         boxes + offsets[:, None], scores, valid, iou_threshold, interpret=interpret
     )
+
+
+def supported(k: int) -> bool:
+    """Kernel applicability: K must tile into the chunked IoU build and the
+    two [K,K] bf16 scratches must fit VMEM (~16 MB/core)."""
+    return (k % min(_CHUNK, k) == 0) and (2 * k * k * 2 <= 12 * 1024 * 1024)

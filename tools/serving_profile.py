@@ -51,6 +51,14 @@ def main():
     phases = "--phases" in _sys.argv
 
     cfg = get_config("finetune_vovnet").replace(compute_dtype="bfloat16")
+    if "--pallas" in _sys.argv:
+        import dataclasses
+
+        cfg = cfg.replace(
+            centernet=dataclasses.replace(cfg.centernet, use_pallas_nms=True),
+            roi=dataclasses.replace(cfg.roi, use_pallas_nms=True),
+        )
+        print("[pallas NMS on live path]")
     model = make_detector(cfg)
     params_f32 = init_params(model, cfg, jax.random.PRNGKey(0))
     c = cfg.fpn.out_channels
