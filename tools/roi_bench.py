@@ -116,8 +116,6 @@ def main():
     slope("interp-matrix build p3", matsonly, feats[0], boxes)
 
 
-if __name__ == "__main__" and "--variants" not in _sys.argv:
-    main()
 
 
 def variants():
@@ -190,6 +188,9 @@ def variants():
         return jax.vmap(one)(f3, bx)
 
     slope("variantC einsum rpcw", full_c, f3, boxes)
+
+
+
 
 
 if __name__ == "__main__":
