@@ -40,6 +40,11 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--init-npz", help="initial params .npz (e.g. converted torch weights)")
     p.add_argument("--num-devices", type=int, default=0, help="0 = all local devices")
+    p.add_argument(
+        "--eval-batch", type=int, default=8,
+        help="eval images per device dispatch (amortizes dispatch latency; "
+        "identical detections to batch 1)",
+    )
     p.add_argument("--max-iter", type=int, default=0, help="override solver.max_iter")
     p.add_argument("--output-dir", default=None)
     p.add_argument("opts", nargs="*", help="config overrides key=value")
@@ -109,7 +114,8 @@ def main():
             )
         else:
             results = evaluate(
-                model, params, cache, records, cfg, batch_stats=batch_stats
+                model, params, cache, records, cfg, batch_stats=batch_stats,
+                batch_size=max(1, args.eval_batch),
             )
         print({k: round(v, 3) for k, v in results.items()})
         return results

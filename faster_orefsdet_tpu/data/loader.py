@@ -106,12 +106,20 @@ def eval_loader(
     records: Sequence[ImageRecord],
     cfg: Config,
     canvas_hw: Optional[Tuple[int, int]] = None,
+    raw_uint8: bool = False,
 ):
     """One pass over eval records → (record, canvas_image, (newh, neww),
-    scale_hw). Batch 1, matching the reference protocol."""
+    scale_hw). Batch 1, matching the reference protocol.
+
+    raw_uint8: yield UN-normalized uint8 canvases as host numpy (4x less
+    transfer; the batched inference fn normalizes on device)."""
     import cv2
 
-    from ..pipelines.preprocess import preprocess_host
+    from ..pipelines.preprocess import (
+        pad_to_canvas,
+        preprocess_host,
+        resize_image_host,
+    )
 
     for rec in records:
         img = cv2.imread(rec.file_name)
@@ -124,6 +132,17 @@ def eval_loader(
             chw = (-(-nh // 32) * 32, -(-nw // 32) * 32)
         else:
             chw = canvas_hw
+        if raw_uint8:
+            h, w = img.shape[:2]
+            newh, neww = resize_shortest_edge_size(
+                h, w, cfg.input.min_size_test, cfg.input.max_size_test
+            )
+            canvas = pad_to_canvas(
+                np.ascontiguousarray(resize_image_host(img, newh, neww), np.uint8),
+                chw,
+            )
+            yield rec, canvas, (newh, neww), (h / newh, w / neww)
+            continue
         canvas, (newh, neww), scale = preprocess_host(
             img,
             cfg.input.min_size_test,

@@ -70,33 +70,82 @@ def evaluate(
     cfg: Config,
     canvas_hw: Optional[Tuple[int, int]] = None,
     batch_stats=None,
+    batch_size: int = 1,
 ) -> Dict[str, float]:
-    """Run the eval loop; returns the AP table + timing stats."""
+    """Run the eval loop; returns the AP table + timing stats.
+
+    batch_size > 1 groups images on the shared eval canvas and runs the
+    vmapped batched query path — each device dispatch covers B images, so
+    the per-dispatch relay RTT (~30-40 ms on this setup) amortizes B-fold.
+    Identical detections to batch-1 (the query path is per-image pure)."""
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
-    infer = build_inference_fn(cfg, model)
     evaluator = COCOEvaluator()
-
     compute_times: List[float] = []
-    n = 0
-    for rec, canvas, (newh, neww), scale in eval_loader(records, cfg, canvas_hw):
-        t0 = time.perf_counter()
-        det = infer(params, cache, canvas, jnp.asarray([float(newh), float(neww)]),
-                    batch_stats)
-        det.boxes.block_until_ready()
-        dt = time.perf_counter() - t0
-        if n > 0:  # skip compile
-            compute_times.append(dt)
-        n += 1
 
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        valid = np.asarray(det.valid)
+    def process(rec, det_boxes, det_scores, det_valid, scale):
         sy, sx = scale
-        boxes = boxes[valid] * np.asarray([sx, sy, sx, sy])
-        evaluator.process(rec.image_id, boxes, scores[valid])
+        boxes = det_boxes[det_valid] * np.asarray([sx, sy, sx, sy])
+        evaluator.process(rec.image_id, boxes, det_scores[det_valid])
         gt_boxes = np.asarray([a.bbox for a in rec.annotations], float).reshape(-1, 4)
         iscrowd = np.asarray([a.iscrowd for a in rec.annotations], bool)
         evaluator.add_ground_truth(rec.image_id, gt_boxes, iscrowd)
+
+    if batch_size > 1:
+        from ..pipelines.inference import build_batched_inference_fn
+
+        binfer = build_batched_inference_fn(cfg, model)
+        buf: List = []
+        nb = 0
+
+        def flush():
+            nonlocal nb
+            count = len(buf)
+            canvases = [b[1] for b in buf]
+            hws = [[float(b[2][0]), float(b[2][1])] for b in buf]
+            while len(canvases) < batch_size:  # pad the tail batch
+                canvases.append(canvases[0])
+                hws.append(hws[0])
+            t0 = time.perf_counter()
+            det = binfer(
+                params, cache, jnp.asarray(np.stack(canvases)), jnp.asarray(hws),
+                batch_stats,
+            )
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            valid = np.asarray(det.valid)
+            dt = time.perf_counter() - t0
+            if nb > 0:  # skip compile
+                compute_times.append(dt / count)
+            nb += 1
+            for i, (rec, _, _, scale) in enumerate(buf):
+                process(rec, boxes[i], scores[i], valid[i], scale)
+            buf.clear()
+
+        # uint8 canvases: 4x less host->device traffic; the batched fn
+        # normalizes on device (the relay link, not compute, bounds eval)
+        for item in eval_loader(records, cfg, canvas_hw, raw_uint8=True):
+            buf.append(item)
+            if len(buf) == batch_size:
+                flush()
+        if buf:
+            flush()
+    else:
+        infer = build_inference_fn(cfg, model)
+        n = 0
+        for rec, canvas, (newh, neww), scale in eval_loader(records, cfg, canvas_hw):
+            t0 = time.perf_counter()
+            det = infer(
+                params, cache, canvas, jnp.asarray([float(newh), float(neww)]),
+                batch_stats,
+            )
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            valid = np.asarray(det.valid)
+            dt = time.perf_counter() - t0
+            if n > 0:  # skip compile
+                compute_times.append(dt)
+            n += 1
+            process(rec, boxes, scores, valid, scale)
 
     results = evaluator.evaluate()
     if compute_times:

@@ -206,11 +206,25 @@ def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
 
 def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
     """jit-compiled (params, cache, images [B,Hc,Wc,3], image_hw [B,2]) →
-    batched Detections — the serving path (vmapped masked NMS, no host loop)."""
+    batched Detections — the serving path (vmapped masked NMS, no host loop).
+
+    images may be RAW uint8 canvases (4x less host->device traffic — the
+    relay link is the eval bottleneck): normalization then runs on device
+    and the padding is re-zeroed to the reference's normalize-then-pad
+    semantics (fsod_cen.py:544-546), exactly like the train-side
+    train_step.prepare_batch."""
     model = model or make_detector(cfg)
 
     @jax.jit
     def fn(params, cache, images, image_hw, batch_stats=None):
+        if images.dtype == jnp.uint8:
+            mean = jnp.asarray(cfg.input.pixel_mean, jnp.float32)
+            std = jnp.asarray(cfg.input.pixel_std, jnp.float32)
+            x = (images.astype(jnp.float32) - mean) / std
+            hc, wc = x.shape[1:3]
+            row_ok = jnp.arange(hc)[None, :] < image_hw[:, 0, None]
+            col_ok = jnp.arange(wc)[None, :] < image_hw[:, 1, None]
+            images = x * (row_ok[:, :, None] & col_ok[:, None, :])[..., None]
         return jax.vmap(
             lambda img, hw: query_path_single(
                 model, params, cache, img, hw, cfg, batch_stats
