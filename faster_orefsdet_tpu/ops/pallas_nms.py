@@ -31,7 +31,7 @@ _CHUNK = 256
 
 
 def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
-                kept_ref, e_ref, et_ref, *, thr):
+                kept_ref, e_ref, et_ref, colbuf_ref, vecbuf_ref, *, thr):
     k = boxes_ref.shape[0]
     ch = min(_CHUNK, k)
 
@@ -44,16 +44,20 @@ def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
     sc = sc_ref[0:1, :]
 
     # ---- suppression matrix e[i, j] = higher-scored i would suppress j
-    # (higher-scored == lower sorted row index), built chunk-by-chunk.
-    # IoU is SYMMETRIC, so e's transpose is just the lower-triangle masking of
+    # (higher-scored == lower sorted row index), built chunk-by-chunk via
+    # fori_loop: python-loop unrolling made Mosaic's scoped-VMEM stack sum
+    # every iteration's temporaries (blew the 16 MB limit in the batched
+    # program); a loop body allocates them ONCE.
+    # IoU is SYMMETRIC, so e's transpose is just the opposite strict order on
     # the same chunk — both orientations come out of one pass, no transposes.
-    for r0 in range(0, k, ch):
-        x1 = boxes_ref[r0 : r0 + ch, 0:1]  # [CH, 1] row layouts
-        y1 = boxes_ref[r0 : r0 + ch, 1:2]
-        x2 = boxes_ref[r0 : r0 + ch, 2:3]
-        y2 = boxes_ref[r0 : r0 + ch, 3:4]
-        vr = vr_ref[r0 : r0 + ch, 0:1]
-        sr = sr_ref[r0 : r0 + ch, 0:1]
+    def build_chunk(i, _):
+        r0 = i * ch
+        x1 = boxes_ref[pl.ds(r0, ch), 0:1]  # [CH, 1] row layouts
+        y1 = boxes_ref[pl.ds(r0, ch), 1:2]
+        x2 = boxes_ref[pl.ds(r0, ch), 2:3]
+        y2 = boxes_ref[pl.ds(r0, ch), 3:4]
+        vr = vr_ref[pl.ds(r0, ch), 0:1]
+        sr = sr_ref[pl.ds(r0, ch), 0:1]
         iw = jnp.maximum(jnp.minimum(x2, x2c) - jnp.maximum(x1, x1c), 0.0)
         ih = jnp.maximum(jnp.minimum(y2, y2c) - jnp.maximum(y1, y1c), 0.0)
         inter = iw * ih  # [CH, K]
@@ -64,14 +68,14 @@ def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
         hit = (iou > thr) & (vr > 0.5) & (vc > 0.5)
         # NO SORT (same trick as ops.nms): rank by direct score comparison,
         # ties by original index (stable descending-argsort semantics).
-        # higher[i,j] and its transpose come from the complementary strict
-        # order — hit is symmetric, so e^T needs no transposes.
         higher = (sr > sc) | ((sr == sc) & (rows < cols))
         lower = (sr < sc) | ((sr == sc) & (rows > cols))
-        # bf16 storage: values are exactly 0/1, and halving the two [K,K]
-        # matrices keeps the K=1024 working set inside the 16 MB VMEM
-        e_ref[r0 : r0 + ch, :] = (hit & higher).astype(jnp.bfloat16)
-        et_ref[r0 : r0 + ch, :] = (hit & lower).astype(jnp.bfloat16)
+        # int8 storage: 0/1 values, quarter of f32 residency
+        e_ref[pl.ds(r0, ch), :] = (hit & higher).astype(jnp.int8)
+        et_ref[pl.ds(r0, ch), :] = (hit & lower).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, k // ch, build_chunk, 0)
 
     # ---- peeling fixpoint, all state in VMEM. State lives in BOTH
     # orientations ([1,K] rows / [K,1] cols) so every any-reduce is a plain
@@ -82,22 +86,52 @@ def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
         _, _, _, und_c = state
         return jnp.sum(und_c) > 0.0
 
+    f32 = jnp.float32
+    red_ch = min(512, k)
+
+    def any_rows(mat_ref, vec_col):
+        """any_i mat[i,j]*vec[i] -> [1,K] bool. fori-chunked over rows: the
+        f32 upcast of the int8 scratch is one bounded loop-body transient.
+        vec_col is staged through the vecbuf scratch — Mosaic refs support
+        pl.ds dynamic slices but plain values do not."""
+        vecbuf_ref[:] = vec_col
+        def step(i, m):
+            r0 = i * red_ch
+            part = jnp.max(
+                mat_ref[pl.ds(r0, red_ch), :].astype(f32)
+                * vecbuf_ref[pl.ds(r0, red_ch), :],
+                axis=0, keepdims=True,
+            )
+            return jnp.maximum(m, part)
+        m = jax.lax.fori_loop(0, k // red_ch, step, jnp.zeros((1, k), f32))
+        return m > 0.0
+
+    def any_cols(mat_ref, vec_row, out_ref):
+        """any_j mat[i,j]*vec[j] -> [K,1] bool via the colbuf scratch
+        (row-chunked; lane slices of tiled scratch trip Mosaic layouts)."""
+        def step(i, _):
+            r0 = i * red_ch
+            out_ref[pl.ds(r0, red_ch), :] = jnp.max(
+                mat_ref[pl.ds(r0, red_ch), :].astype(f32) * vec_row,
+                axis=1, keepdims=True,
+            )
+            return 0
+        jax.lax.fori_loop(0, k // red_ch, step, 0)
+        return out_ref[:] > 0.0
+
     def body(state):
         kept_r, kept_c, und_r, und_c = state
-        f32 = jnp.float32
         active_c = jnp.minimum(kept_c + und_c, 1.0)
         active_r = jnp.minimum(kept_r + und_r, 1.0)
-        # blocked[j] = any_i e[i,j] & active[i]; the bf16 matrices upcast at
-        # the multiply (Mosaic lacks bf16 compare/max lowerings; the f32
-        # product is a transient tile, scratch residency stays bf16)
-        blocked_r = (jnp.max(e_ref[:].astype(f32) * active_c, axis=0, keepdims=True) > 0.0)
-        blocked_c = (jnp.max(et_ref[:].astype(f32) * active_r, axis=1, keepdims=True) > 0.0)
+        # blocked[j] = any_i e[i,j] & active[i]
+        blocked_r = any_rows(e_ref, active_c)
+        blocked_c = any_cols(et_ref, active_r, colbuf_ref)
         nk_r = und_r * (1.0 - blocked_r.astype(f32))
         nk_c = und_c * (1.0 - blocked_c.astype(f32))
         kept2_r = kept_r + nk_r
         kept2_c = kept_c + nk_c
-        crushed_r = (jnp.max(e_ref[:].astype(f32) * kept2_c, axis=0, keepdims=True) > 0.0)
-        crushed_c = (jnp.max(et_ref[:].astype(f32) * kept2_r, axis=1, keepdims=True) > 0.0)
+        crushed_r = any_rows(e_ref, kept2_c)
+        crushed_c = any_cols(et_ref, kept2_r, colbuf_ref)
         nr_r = und_r * crushed_r.astype(jnp.float32)
         nr_c = und_c * crushed_c.astype(jnp.float32)
         return kept2_r, kept2_c, und_r - nk_r - nr_r, und_c - nk_c - nr_c
@@ -130,8 +164,10 @@ def nms_mask_pallas(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((k, k), jnp.bfloat16),  # e (upper-tri suppression)
-            pltpu.VMEM((k, k), jnp.bfloat16),  # e^T (lower-tri, by symmetry)
+            pltpu.VMEM((k, k), jnp.int8),  # e (rank-DAG suppression)
+            pltpu.VMEM((k, k), jnp.int8),  # e^T (by IoU symmetry)
+            pltpu.VMEM((k, 1), jnp.float32),  # column-reduce buffer
+            pltpu.VMEM((k, 1), jnp.float32),  # any_rows vector staging
         ],
         interpret=interpret,
     )(fboxes, fboxes.T, fscores[:, None], fscores[None, :],
@@ -161,4 +197,4 @@ def batched_nms_mask_pallas(
 def supported(k: int) -> bool:
     """Kernel applicability: K must tile into the chunked IoU build and the
     two [K,K] bf16 scratches must fit VMEM (~16 MB/core)."""
-    return (k % min(_CHUNK, k) == 0) and (2 * k * k * 2 <= 12 * 1024 * 1024)
+    return (k % min(_CHUNK, k) == 0) and (2 * k * k <= 4 * 1024 * 1024)
