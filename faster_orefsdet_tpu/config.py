@@ -310,7 +310,18 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         if len(path) == 1:
             cur = getattr(obj, name)
             if cur is not None and not isinstance(value, type(cur)):
-                if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+                if isinstance(cur, bool) and isinstance(value, str):
+                    # yacs-style lowercase bools ("key=true") don't
+                    # literal_eval; a leftover string would be truthy even
+                    # for "false"
+                    low = value.strip().lower()
+                    if low in ("true", "1", "yes"):
+                        value = True
+                    elif low in ("false", "0", "no"):
+                        value = False
+                    else:
+                        raise ValueError(f"{'.'.join(path)}: not a bool: {value!r}")
+                elif isinstance(cur, tuple) and isinstance(value, (list, tuple)):
                     value = tuple(value)
                 elif isinstance(cur, float) and isinstance(value, int):
                     value = float(value)
