@@ -167,7 +167,15 @@ def query_path_multiclass(
     scores = scores.reshape(-1)
     valid = valid.reshape(-1) & (scores > cfg.roi.score_thresh_test)
     valid &= jnp.isfinite(scores) & jnp.all(jnp.isfinite(boxes), axis=-1)
-    keep = batched_nms_mask(boxes, scores, classes, valid, cfg.roi.nms_thresh_test)
+    if getattr(cfg.roi, "use_pallas_nms", False):
+        from ..ops.pallas_nms import batched_nms_mask_pallas, supported
+
+        nms_fn = (
+            batched_nms_mask_pallas if supported(scores.shape[0]) else batched_nms_mask
+        )
+    else:
+        nms_fn = batched_nms_mask
+    keep = nms_fn(boxes, scores, classes, valid, cfg.roi.nms_thresh_test)
     topk = min(cfg.roi.detections_per_image, scores.shape[0])
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(keep, scores, -1.0), topk)
     return Detections(
