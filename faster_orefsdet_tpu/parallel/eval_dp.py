@@ -34,9 +34,13 @@ def evaluate_sharded(
     mesh: Mesh,
     canvas_hw: Optional[Tuple[int, int]] = None,
     batch_stats=None,
+    per_device_batch: int = 4,
 ) -> Dict[str, float]:
     """COCO AP over `records`, with inference batches sharded over the mesh.
-    batch_stats: BN running stats for dla.norm="BN" models (replicated)."""
+    batch_stats: BN running stats for dla.norm="BN" models (replicated).
+    per_device_batch: images per device per dispatch (amortizes dispatch
+    latency on top of the mesh-wide sharding; raw uint8 canvases keep the
+    host->device traffic 4x down, like the single-device batched eval)."""
     n_dev = mesh.devices.size
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
     infer = build_batched_inference_fn(cfg, model)
@@ -56,7 +60,7 @@ def evaluate_sharded(
             return
         k = len(pending)
         # pad to a full mesh batch
-        while len(pending) % n_dev:
+        while len(pending) % (n_dev * per_device_batch):
             pending.append(pending[-1])
         imgs = jnp.asarray(np.stack([p[1] for p in pending]))
         hws = jnp.asarray(
@@ -77,9 +81,10 @@ def evaluate_sharded(
             evaluator.add_ground_truth(rec.image_id, gt, crowd)
         pending.clear()
 
-    for rec, canvas, hw, scale in eval_loader(records, cfg, canvas_hw):
-        pending.append((rec, np.asarray(canvas), hw, scale))
-        if len(pending) == n_dev:
+    for rec, canvas, hw, scale in eval_loader(records, cfg, canvas_hw,
+                                              raw_uint8=True):
+        pending.append((rec, canvas, hw, scale))
+        if len(pending) == n_dev * per_device_batch:
             flush()
     flush()
     return evaluator.evaluate()
