@@ -118,6 +118,7 @@ def test_demo_cli_max_frames(tmp_path, monkeypatch):
     out_dir = str(tmp_path / "outdir")
     argv = [
         "demo", "--video-input", clip, "--output", out_dir, "--max-frames", "3",
+        "--frame-batch", "1",  # keep the per-frame path covered
         "--support-index", idx, "--confidence", "0.0",
         "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
         "roi.detections_per_image=8",

@@ -79,7 +79,7 @@ def main():
     cache = encode_support_set(model, state.params, entries, cfg,
                                batch_stats=state.batch_stats)
     res = evaluate(model, state.params, cache, records, cfg,
-                   batch_stats=state.batch_stats)
+                   batch_stats=state.batch_stats, batch_size=8)
     print({k: round(v, 2) for k, v in res.items() if k.startswith("AP") or k == "fps"})
 
 
