@@ -277,8 +277,20 @@ def finetune_dla() -> Config:
     )
 
 
+def serving_vovnet() -> Config:
+    """TPU serving preset: the published finetune_vovnet model with the
+    serving knobs on — bf16 compute + Pallas VMEM NMS (no reference analog;
+    numerics equivalence-tested, RESULTS.md round-2 tables)."""
+    cfg = finetune_vovnet_25shot().replace(compute_dtype="bfloat16")
+    return cfg.replace(
+        centernet=dataclasses.replace(cfg.centernet, use_pallas_nms=True),
+        roi=dataclasses.replace(cfg.roi, use_pallas_nms=True),
+    )
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
+    "serving_vovnet": serving_vovnet,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),
