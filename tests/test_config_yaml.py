@@ -74,3 +74,22 @@ def test_yacs_tuple_strings_parse():
     assert cfg.input.min_size_train == (200, 240, 280, 320, 360, 400, 440)
     assert cfg.centernet.sizes_of_interest == ((0, 64), (48, 192), (128, 1000000))
     assert cfg.train_dataset == "coco_2017_train_stone"
+
+
+def test_serving_preset():
+    """serving_vovnet = finetune_vovnet + bf16 + Pallas NMS, nothing else."""
+    from faster_orefsdet_tpu.config import get_config
+
+    base = get_config("finetune_vovnet")
+    srv = get_config("serving_vovnet")
+    assert srv.compute_dtype == "bfloat16"
+    assert srv.centernet.use_pallas_nms and srv.roi.use_pallas_nms
+    # only the serving knobs differ
+    norm = srv.replace(compute_dtype=base.compute_dtype)
+    import dataclasses
+
+    norm = norm.replace(
+        centernet=dataclasses.replace(norm.centernet, use_pallas_nms=False),
+        roi=dataclasses.replace(norm.roi, use_pallas_nms=False),
+    )
+    assert norm == base
