@@ -41,6 +41,22 @@ variables = {"params": params}
 
 N = 100
 
+# dispatch+readback RTT through the relay (~30-40 ms) would otherwise be
+# attributed to the chain (CLAUDE.md gotcha); measure it and subtract
+@jax.jit
+def _trivial(x):
+    return jnp.sum(x) * 1e-12
+
+
+float(_trivial(image))
+_rtts = []
+for _ in range(10):
+    _t0 = time.perf_counter()
+    float(_trivial(image))
+    _rtts.append(time.perf_counter() - _t0)
+RTT = float(np.median(_rtts))
+print(f"relay RTT subtracted: {RTT*1e3:.1f} ms")
+
 
 def timeit(name, fn, *args):
     @jax.jit
@@ -56,7 +72,7 @@ def timeit(name, fn, *args):
         t0 = time.perf_counter()
         float(chained(*args))
         runs.append(time.perf_counter() - t0)
-    ms = min(runs) / N * 1000
+    ms = max(min(runs) - RTT, 0.0) / N * 1000
     print(f"{name:28s} {ms:8.3f} ms/iter")
     return ms
 
