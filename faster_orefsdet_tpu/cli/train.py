@@ -46,6 +46,14 @@ def parse_args():
         "identical detections to batch 1)",
     )
     p.add_argument("--max-iter", type=int, default=0, help="override solver.max_iter")
+    p.add_argument(
+        "--eval-period", type=int, default=None,
+        help="run eval on --test-json every N train iters (and at max_iter), "
+        "like d2's EvalHook (engine/defaults.py:461 wired by TEST.EVAL_PERIOD); "
+        "defaults to the config's eval_period (yaml TEST.EVAL_PERIOD); 0 = off "
+        "(the reference ships with EVAL_PERIOD commented out, "
+        "finetune_vovnet.yaml:73)",
+    )
     p.add_argument("--output-dir", default=None)
     p.add_argument("opts", nargs="*", help="config overrides key=value")
     return p.parse_args()
@@ -148,6 +156,23 @@ def main():
     if mesh is not None:
         state = replicate_state(state, mesh)
 
+    eval_period = args.eval_period if args.eval_period is not None else cfg.eval_period
+    eval_records = None
+    if eval_period > 0:
+        assert args.test_json, "--eval-period requires --test-json/--test-images"
+        eval_records = load_coco_json(args.test_json, args.test_images)
+
+    def run_eval(st):
+        # pull (possibly mesh-replicated) params to host once per eval; the
+        # eval programs then stage them on the default device
+        p = jax.device_get(st.params)
+        bs = jax.device_get(st.batch_stats) if st.batch_stats is not None else None
+        cache = encode_support_set(model, p, support_entries, cfg, batch_stats=bs)
+        return evaluate(
+            model, p, cache, eval_records, cfg, batch_stats=bs,
+            batch_size=max(1, args.eval_batch),
+        )
+
     logger = EventLogger(cfg.output_dir)
     max_iter = args.max_iter or cfg.solver.max_iter
     rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -166,6 +191,13 @@ def main():
             pending = []
         if (it + 1) % cfg.solver.checkpoint_period == 0 or it + 1 == max_iter:
             save_checkpoint(ckpt_dir, state, it + 1)
+        if eval_records is not None and (
+            (it + 1) % eval_period == 0 or it + 1 == max_iter
+        ):
+            results = run_eval(state)
+            print(f"eval @{it + 1}: " + str({k: round(v, 3) for k, v in results.items()}))
+            logger.log(it + 1, {f"eval/{k}": v for k, v in results.items()})
+    logger.flush(max_iter)  # short runs (< period iters) still get metrics.jsonl
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)
     if state.batch_stats is not None:
         save_params_npz(

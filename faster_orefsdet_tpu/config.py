@@ -228,6 +228,11 @@ class Config:
     static: StaticShapeConfig = field(default_factory=StaticShapeConfig)
     train_dataset: str = "coco_2017_train_stone"
     test_dataset: str = "coco_2017_val_stone"
+    # in-training eval cadence (d2 TEST.EVAL_PERIOD / EvalHook,
+    # engine/defaults.py:461); 0 = off, matching the reference which ships
+    # with EVAL_PERIOD commented out (finetune_vovnet.yaml:73). The CLI
+    # --eval-period flag overrides this.
+    eval_period: int = 0
     output_dir: str = "./output/fsod/vovnet_25shot"
     seed: int = 0
 
@@ -331,6 +336,13 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
                         value = True
                     elif low in ("false", "0", "no"):
                         value = False
+                    else:
+                        raise ValueError(f"{'.'.join(path)}: not a bool: {value!r}")
+                elif isinstance(cur, bool) and isinstance(value, int):
+                    # "key=1" literal_evals to int; store a real bool so
+                    # config equality/serialization stay well-typed
+                    if value in (0, 1):
+                        value = bool(value)
                     else:
                         raise ValueError(f"{'.'.join(path)}: not a bool: {value!r}")
                 elif isinstance(cur, tuple) and isinstance(value, (list, tuple)):

@@ -132,6 +132,7 @@ KEY_MAP: Dict[str, str] = {
     "SOLVER.CLIP_GRADIENTS.CLIP_VALUE": "solver.clip_value",
     "OUTPUT_DIR": "output_dir",
     "SEED": "seed",
+    "TEST.EVAL_PERIOD": "eval_period",
 }
 
 # Keys accepted but deliberately not mapped, with the reason.
@@ -153,7 +154,6 @@ IGNORED_KEYS: Dict[str, str] = {
     "MODEL.RPN.POST_NMS_TOPK_TEST": "AttentionRPN-baseline-only (BaselineConfig)",
     "DATALOADER.NUM_WORKERS": "the loader uses a device-prefetch pipeline, not worker processes",
     "VERSION": "yacs schema version tag",
-    "TEST.EVAL_PERIOD": "eval cadence is a CLI concern (cli/train.py --eval-period)",
 }
 
 # reference builder name (detectron2 BACKBONE.NAME) → Config.backbone_name

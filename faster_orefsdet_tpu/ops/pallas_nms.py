@@ -87,7 +87,11 @@ def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
         return jnp.sum(und_c) > 0.0
 
     f32 = jnp.float32
-    red_ch = min(512, k)
+    # MUST match the supported() divisibility gate (k % _CHUNK == 0): a
+    # larger tile (e.g. 512) truncates the fori_loop trip count for k=768 —
+    # any_rows would skip rows >= (k//512)*512 and any_cols would leave the
+    # colbuf tail uninitialized, corrupting the keep mask.
+    red_ch = min(_CHUNK, k)
 
     def any_rows(mat_ref, vec_col):
         """any_i mat[i,j]*vec[i] -> [1,K] bool. fori-chunked over rows: the
@@ -195,6 +199,9 @@ def batched_nms_mask_pallas(
 
 
 def supported(k: int) -> bool:
-    """Kernel applicability: K must tile into the chunked IoU build and the
-    two [K,K] bf16 scratches must fit VMEM (~16 MB/core)."""
+    """Kernel applicability: K must tile into the chunked build/reduce loops
+    (k % _CHUNK == 0, the same tile both loops use) and the two [K,K] *int8*
+    scratches must fit VMEM: 2*K*K bytes <= 4 MiB, i.e. K <= 1448 — a
+    deliberately conservative slice of the ~16 MB/core budget leaving room
+    for the f32 loop transients."""
     return (k % min(_CHUNK, k) == 0) and (2 * k * k <= 4 * 1024 * 1024)

@@ -115,7 +115,10 @@ def evaluate(
             valid = np.asarray(det.valid)
             dt = time.perf_counter() - t0
             if nb > 0:  # skip compile
-                compute_times.append(dt / count)
+                # the device always computes the FULL (padded) batch, so
+                # per-image latency divides by batch_size, not the unpadded
+                # count — else the tail batch inflates p50/p90
+                compute_times.append(dt / batch_size)
             nb += 1
             for i, (rec, _, _, scale) in enumerate(buf):
                 process(rec, boxes[i], scores[i], valid[i], scale)

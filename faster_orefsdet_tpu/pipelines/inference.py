@@ -170,9 +170,19 @@ def query_path_multiclass(
     if getattr(cfg.roi, "use_pallas_nms", False):
         from ..ops.pallas_nms import batched_nms_mask_pallas, supported
 
-        nms_fn = (
-            batched_nms_mask_pallas if supported(scores.shape[0]) else batched_nms_mask
-        )
+        if supported(scores.shape[0]):
+            nms_fn = batched_nms_mask_pallas
+        else:
+            # no silent caps: the user asked for the Pallas kernel but
+            # n_cls*K exceeds its VMEM bound — say so once per trace
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "use_pallas_nms=True but multiclass NMS size %d is outside "
+                "pallas_nms.supported(); falling back to the XLA fixpoint",
+                scores.shape[0],
+            )
+            nms_fn = batched_nms_mask
     else:
         nms_fn = batched_nms_mask
     keep = nms_fn(boxes, scores, classes, valid, cfg.roi.nms_thresh_test)

@@ -98,11 +98,20 @@ def loss_fn(
     rng: jax.Array,
     axis_name: str | None = None,
     batch_stats: Dict | None = None,
+    deterministic: bool = False,
+    injected_rois: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Returns (total, losses); with batch_stats given, (total, (losses,
     new_batch_stats)) — the two backbone passes run in BN train mode and the
     running stats update sequentially (query pass then support pass, the
-    reference's forward order, fsod_cen.py:165→177)."""
+    reference's forward order, fsod_cen.py:165→177).
+
+    deterministic / injected_rois exist for the composed train-loss parity
+    test (tests/test_composed_train_parity.py): deterministic=True disables
+    the SM-block dropout; injected_rois=(boxes [B,R,4], valid [B,R]) bypasses
+    proposal decode + random ROI subsampling — the injected boxes are labeled
+    by the stage-0 matcher (cascade_ious[0]) exactly like sampled ones, so
+    the torch transcription can feed the identical fixed set."""
     batch = prepare_batch(batch, cfg)
     variables = {"params": params}
     b = batch.images.shape[0]
@@ -156,7 +165,7 @@ def loss_fn(
     # ---- SM refinement + per-image shot-mean kernels (:216-232)
     refined = model.apply(
         variables, sfeats, method=model.refine_support,
-        rngs={"dropout": drop_rng}, deterministic=False,
+        rngs={"dropout": drop_rng}, deterministic=deterministic,
     )
     mean_maps = {
         k: jnp.mean(v.reshape(b, s, *v.shape[1:])[:, :shot], axis=1)
@@ -250,16 +259,20 @@ def loss_fn(
 
     # ---- proposals for the ROI stage (no grad through decode, :678-680 runs
     # under predict_instances' no_grad)
-    def decode_one(h3, h4, h5, r3, r4, r5, hw):
-        return decode_proposals(
-            [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas_hw, hw, training=True
-        )
+    if injected_rois is None:
+        def decode_one(h3, h4, h5, r3, r4, r5, hw):
+            return decode_proposals(
+                [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas_hw, hw, training=True
+            )
 
-    proposals = jax.vmap(decode_one)(
-        *[jax.lax.stop_gradient(x) for x in (agn_hms[0], agn_hms[1], agn_hms[2])],
-        *[jax.lax.stop_gradient(x) for x in (bbox_regs[0], bbox_regs[1], bbox_regs[2])],
-        batch.image_hw,
-    )
+        proposals = jax.vmap(decode_one)(
+            *[jax.lax.stop_gradient(x) for x in (agn_hms[0], agn_hms[1], agn_hms[2])],
+            *[jax.lax.stop_gradient(x) for x in (bbox_regs[0], bbox_regs[1], bbox_regs[2])],
+            batch.image_hw,
+        )
+        roi_boxes, roi_valid = proposals.boxes, proposals.valid
+    else:
+        roi_boxes, roi_valid = injected_rois
 
     # ---- ROI sampling + DSA cascade stage losses
     sample_rngs = jax.random.split(sample_rng, b)
@@ -267,9 +280,18 @@ def loss_fn(
     def roi_one(rng_i, prop_boxes, prop_valid, gtb, gtc, gtv, f3, f4, f5, s8, s4):
         gt = GroundTruth(boxes=gtb, classes=gtc, valid=gtv)
         all_losses = {}
-        boxes, cls_t, box_t, slot_valid = subsample_proposals(
-            rng_i, prop_boxes, prop_valid, gt, cfg.roi
-        )
+        if injected_rois is None:
+            boxes, cls_t, box_t, slot_valid = subsample_proposals(
+                rng_i, prop_boxes, prop_valid, gt, cfg.roi
+            )
+        else:
+            # pre-sampled set: label with the stage-0 matcher only
+            from ..models.cascade_roi import match_proposals
+
+            boxes, slot_valid = prop_boxes, prop_valid
+            midx, fg = match_proposals(boxes, slot_valid, gt, cfg.roi.cascade_ious[0])
+            cls_t = jnp.where(fg & slot_valid, gt.classes[midx], cfg.roi.num_classes)
+            box_t = gt.boxes[midx]
         for stage in range(len(cfg.roi.cascade_ious)):
             out = model.apply(
                 variables, [f3, f4, f5], boxes, s8, s4, stage, method=model.roi_stage
@@ -290,7 +312,7 @@ def loss_fn(
         return all_losses
 
     roi_losses = jax.vmap(roi_one)(
-        sample_rngs, proposals.boxes, proposals.valid,
+        sample_rngs, roi_boxes, roi_valid,
         batch.gt_boxes, gt_classes, batch.gt_valid,
         qfeats["p3"], qfeats["p4"], qfeats["p5"], sup8_mean, sup4_mean,
     )

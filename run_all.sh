@@ -15,6 +15,9 @@ SHOT=${SHOT:-24}
 
 rm -f support_dir/support_feature.npz
 
+# native COCOeval fast path (evaluation falls back to numpy if this fails)
+make -C "$(dirname "$0")/native" || echo "native build failed; numpy COCOeval fallback"
+
 if [ ! -f "$SUPPORT_DIR/support_index.json" ]; then
   python -m faster_orefsdet_tpu.cli.build_support \
     --json "$TRAIN_JSON" --images "$TRAIN_IMAGES" --out "$SUPPORT_DIR"

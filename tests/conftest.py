@@ -22,6 +22,18 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test (subprocess compiles)")
+    # Build the native COCOeval fast path so test_native_cocoeval.py runs
+    # instead of silently skipping in a fresh checkout (VERDICT r2 #5).
+    import pathlib
+    import subprocess
+
+    native = pathlib.Path(__file__).resolve().parent.parent / "native"
+    if not (native / "libcocoeval.so").exists():
+        try:
+            subprocess.run(["make", "-C", str(native)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # no toolchain → the equivalence test skips
+            print(f"native build unavailable ({e}); numpy COCOeval only")
 
 
 @pytest.fixture

@@ -31,7 +31,13 @@ def _scene(rng, k, n_valid, spread=200.0, size=40.0):
 
 
 @pytest.mark.parametrize("k,n_valid,thr", [(256, 256, 0.6), (256, 170, 0.5),
-                                           (512, 512, 0.3)])
+                                           (512, 512, 0.3),
+                                           # K=768/1280: supported() K values
+                                           # where a 512-row reduce tile would
+                                           # truncate the fori_loop (advisor
+                                           # r2 high finding) — must cover ALL
+                                           # rows with the _CHUNK tile.
+                                           (768, 768, 0.5), (1280, 1100, 0.6)])
 def test_pallas_nms_matches_fixpoint_and_oracle(k, n_valid, thr):
     rng = np.random.default_rng(k + n_valid)
     boxes, scores, valid = _scene(rng, k, n_valid)
