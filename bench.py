@@ -101,6 +101,10 @@ def main():
         float(chained(params, cache, image, hw))
         runs.append(time.perf_counter() - t0)
     pure_fps = n_chain / max(min(runs) - rtt, 1e-9)
+    # session-variance band over the reps (the shared relay makes sustained
+    # throughput vary ~5% between sessions; the band makes the headline
+    # self-describing — RESULTS.md quotes 1450-1520 across round-2 sessions)
+    fps_band = sorted(n_chain / max(r - rtt, 1e-9) for r in runs)
 
     infer = build_inference_fn(cfg, model)
     force(infer(params, cache, image, hw))  # compile
@@ -124,6 +128,8 @@ def main():
 
     extra = {
         "per_image_ms_pure": round(1000.0 / pure_fps, 3),
+        "pure_fps_min_max_over_reps": [round(fps_band[0], 1), round(fps_band[-1], 1)],
+        "session_variance_note": "shared-relay sessions vary ~5%; round-2 band 1450-1520",
         "relay_rtt_ms_subtracted": round(rtt * 1000, 2),
         "dispatch_loop_images_per_sec": round(sustained_fps, 1),
         "single_dispatch_readback_ms": round(lat_single * 1000, 2),

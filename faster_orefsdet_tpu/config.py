@@ -293,9 +293,25 @@ def serving_vovnet() -> Config:
     )
 
 
+def serving_vovnet_fast() -> Config:
+    """serving_vovnet + post_nms_topk_test=64: the round-3 proposal-budget
+    ablation measured AP-NEUTRAL accuracy at 1/4 the ROI budget (1060-image
+    synthetic val, 24-shot: AP 65.1 @64 vs 64.7 @256) for 1.75x serving
+    throughput (3613 vs 2059 img/s at batch 128 — the ROI stage is the
+    serving floor, RESULTS.md round-3). The published budget (256,
+    fsod_rpn.py:1199-1206) remains the default elsewhere for strict parity;
+    AP-neutrality is established on the synthetic protocol — re-check on
+    real data before production use."""
+    cfg = serving_vovnet()
+    return cfg.replace(
+        centernet=dataclasses.replace(cfg.centernet, post_nms_topk_test=64),
+    )
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
     "serving_vovnet": serving_vovnet,
+    "serving_vovnet_fast": serving_vovnet_fast,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),

@@ -7,8 +7,9 @@ batch 128, tools/serving_profile.py). Replaces torchvision nms /
 detectron2 batched_nms exactly like ops/nms does (strict > threshold,
 descending-score greedy, fsod_rpn.py:1184-1210 usage).
 
-This kernel computes IoU in row-chunks into a VMEM scratch (K=1024 f32 →
-4 MB, within the ~16 MB/core budget) and runs the same peeling fixpoint as
+This kernel computes IoU in row-chunks into two int8 [K,K] VMEM scratches
+(K=1024 → 2 MB total, within the ~16 MB/core budget; see supported()) and
+runs the same peeling fixpoint as
 VMEM-resident matvecs: HBM traffic is one read of the [K,4] boxes and one
 write of the [K] keep mask (~20 KB) — a >1000x byte reduction, moving the
 stage off the memory roofline entirely.

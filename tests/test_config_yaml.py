@@ -93,3 +93,21 @@ def test_serving_preset():
         roi=dataclasses.replace(norm.roi, use_pallas_nms=False),
     )
     assert norm == base
+
+
+def test_serving_fast_preset():
+    """serving_vovnet_fast = serving_vovnet + post_nms_topk_test=64 (the
+    round-3 AP-neutral budget ablation), nothing else."""
+    import dataclasses
+
+    from faster_orefsdet_tpu.config import get_config
+
+    srv = get_config("serving_vovnet")
+    fast = get_config("serving_vovnet_fast")
+    assert fast.centernet.post_nms_topk_test == 64
+    norm = fast.replace(
+        centernet=dataclasses.replace(
+            fast.centernet, post_nms_topk_test=srv.centernet.post_nms_topk_test
+        )
+    )
+    assert norm == srv
