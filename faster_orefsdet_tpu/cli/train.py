@@ -47,6 +47,13 @@ def parse_args():
     )
     p.add_argument("--max-iter", type=int, default=0, help="override solver.max_iter")
     p.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="fuse K SGD steps into one XLA program (lax.scan) — amortizes "
+        "the per-dispatch relay RTT K-fold on remote TPU setups; identical "
+        "numerics to K single steps (tests/test_train_scan.py). "
+        "Single-device only; metrics log as per-chunk means",
+    )
+    p.add_argument(
         "--eval-period", type=int, default=None,
         help="run eval on --test-json every N train iters (and at max_iter), "
         "like d2's EvalHook (engine/defaults.py:461 wired by TEST.EVAL_PERIOD); "
@@ -177,26 +184,52 @@ def main():
     max_iter = args.max_iter or cfg.solver.max_iter
     rng = jax.random.PRNGKey(cfg.seed + 1)
     start = int(state.step)
+    k = max(1, args.steps_per_dispatch)
+    if k > 1:
+        assert mesh is None, "--steps-per-dispatch composes with single-device only"
+        from ..pipelines.train_step import build_train_step_scan
+
+        step_k_fn = build_train_step_scan(cfg, model, tx)
+
+    def crossed(period, it0, it1):
+        return period > 0 and (it1 // period > it0 // period or it1 == max_iter)
+
     pending = []  # (step, device metrics) — drained in one readback per period
-    for it in range(start, max_iter):
-        batch = next(loader)
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        pending.append((it, metrics))
-        if len(pending) >= logger.period or it + 1 == max_iter:
+    steps_pending = 0
+    it = start
+    while it < max_iter:
+        kk = min(k, max_iter - it)
+        if kk == 1:
+            batch = next(loader)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+        else:
+            # K steps per dispatch: stack K batches, one scan program (same
+            # rng split sequence as K single steps — numerics identical)
+            bs = [next(loader) for _ in range(kk)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+            subs = []
+            for _ in range(kk):
+                rng, sub = jax.random.split(rng)
+                subs.append(sub)
+            state, mk = step_k_fn(state, stacked, jnp.stack(subs))
+            metrics = {name: jnp.mean(v) for name, v in mk.items()}
+        it1 = it + kk
+        pending.append((it1 - 1, metrics))
+        steps_pending += kk
+        if steps_pending >= logger.period or it1 == max_iter:
             for s, m in drain_device_metrics(pending):
                 logger.log(s, m)
-            pending = []
-        if (it + 1) % cfg.solver.checkpoint_period == 0 or it + 1 == max_iter:
-            save_checkpoint(ckpt_dir, state, it + 1)
-        if eval_records is not None and (
-            (it + 1) % eval_period == 0 or it + 1 == max_iter
-        ):
+            pending, steps_pending = [], 0
+        if crossed(cfg.solver.checkpoint_period, it, it1):
+            save_checkpoint(ckpt_dir, state, it1)
+        if eval_records is not None and crossed(eval_period, it, it1):
             results = run_eval(state)
-            print(f"eval @{it + 1}: " + str({k: round(v, 3) for k, v in results.items()}))
-            logger.log(it + 1, {f"eval/{k}": v for k, v in results.items()})
+            print(f"eval @{it1}: " + str({k_: round(v, 3) for k_, v in results.items()}))
+            logger.log(it1, {f"eval/{k_}": v for k_, v in results.items()})
+        it = it1
     logger.flush(max_iter)  # short runs (< period iters) still get metrics.jsonl
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)
     if state.batch_stats is not None:

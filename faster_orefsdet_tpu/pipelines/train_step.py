@@ -325,6 +325,22 @@ def loss_fn(
     return total, losses
 
 
+def _train_step_impl(state, batch, rng, model, cfg, tx, axis_name):
+    if state.batch_stats is None:
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, model, cfg, rng, axis_name
+        )
+        new_stats = None
+    else:
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {"total_loss": total, **losses}
+    return TrainState(params, opt_state, state.step + 1, new_stats), metrics
+
+
 def build_train_step(
     cfg: Config,
     model: CenterNet2Detector,
@@ -338,18 +354,34 @@ def build_train_step(
 
     @jax.jit
     def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
-        if state.batch_stats is None:
-            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, model, cfg, rng, axis_name
-            )
-            new_stats = None
-        else:
-            (total, (losses, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"total_loss": total, **losses}
-        return TrainState(params, opt_state, state.step + 1, new_stats), metrics
+        return _train_step_impl(state, batch, rng, model, cfg, tx, axis_name)
 
     return train_step
+
+
+def build_train_step_scan(
+    cfg: Config,
+    model: CenterNet2Detector,
+    tx: optax.GradientTransformation,
+    axis_name: str | None = None,
+):
+    """K sequential SGD steps fused into ONE program via lax.scan — the
+    TPU-native answer to per-step dispatch latency (no reference analog:
+    the torch trainer must dispatch per step; under XLA the whole k-step
+    chain compiles once and the relay RTT amortizes k-fold; round-2 wall
+    floor was dispatch-bound at 9-11 ms/it vs a 4.6 ms device step).
+
+    Returns step_k(state, batches, rngs) -> (state, metrics[k]) where every
+    leaf of `batches` is stacked on a leading k axis and rngs is [k] keys.
+    Bit-identical to k build_train_step calls with the same per-step keys
+    (tests/test_train_scan.py)."""
+
+    @jax.jit
+    def train_step_k(state: TrainState, batches: TrainBatch, rngs: jax.Array):
+        def body(st, xs):
+            batch, rng = xs
+            return _train_step_impl(st, batch, rng, model, cfg, tx, axis_name)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return train_step_k

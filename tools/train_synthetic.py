@@ -1,9 +1,10 @@
 """Synthetic-ore convergence run (any named config) on the local accelerator.
 
-Usage: python tools/train_synthetic.py [config_name] [iters] [shot]
+Usage: python tools/train_synthetic.py [config_name] [iters] [shot] [scale] [k]
 Generates a synthetic ore dataset, fine-tunes the detector episodically, and
 reports loss trajectory + train-set AP — the round-1 convergence evidence
-harness (RESULTS.md "Training" table)."""
+harness (RESULTS.md "Training" table). k>1 fuses k SGD steps per dispatch
+via build_train_step_scan (amortizes the relay RTT k-fold)."""
 
 import os as _os
 import sys as _sys
@@ -58,18 +59,37 @@ def main():
                             canvas_hw=train_canvas(records, cfg))
     loader = train_loader(records, mapper, cfg.solver.ims_per_batch, seed=0)
 
+    k = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    if k > 1:
+        from faster_orefsdet_tpu.pipelines.train_step import build_train_step_scan
+
+        step_k = build_train_step_scan(cfg, model, tx)
+
     rng = jax.random.PRNGKey(1)
     losses = []  # device scalars — read back in bulk (keeps the queue deep)
     tw = time.time()
     last_it = 0
-    for it in range(iters):
-        batch = next(loader)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step(state, batch, sub)
-        losses.append(metrics["total_loss"])
-        if it % 20 == 0 or it == iters - 1:
-            now = time.time()  # marginal window ms/it (it 0 = compile)
-            print(f"it {it:4d}  loss {float(losses[-1]):.3f}  "
+    it = 0
+    while it < iters:
+        kk = min(k, iters - it)
+        if kk == 1:
+            batch = next(loader)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            losses.append(metrics["total_loss"])
+        else:
+            bs = [next(loader) for _ in range(kk)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+            subs = []
+            for _ in range(kk):
+                rng, sub = jax.random.split(rng)
+                subs.append(sub)
+            state, mk = step_k(state, stacked, jnp.stack(subs))
+            losses.append(mk["total_loss"][-1])
+        it += kk
+        if (it - kk) % 20 < kk or it == iters:
+            now = time.time()  # marginal window ms/it (first window = compile)
+            print(f"it {it - 1:4d}  loss {float(losses[-1]):.3f}  "
                   f"({(now - tw) / max(it - last_it, 1) * 1000:.0f} ms/it)",
                   flush=True)
             tw, last_it = time.time(), it
