@@ -51,6 +51,14 @@ def main():
     phases = "--phases" in _sys.argv
 
     cfg = get_config("finetune_vovnet").replace(compute_dtype="bfloat16")
+    if "--post" in _sys.argv:  # ROI-budget knob (round-3 fast preset: 64)
+        import dataclasses
+
+        post = int(_sys.argv[_sys.argv.index("--post") + 1])
+        cfg = cfg.replace(
+            centernet=dataclasses.replace(cfg.centernet, post_nms_topk_test=post)
+        )
+        print(f"[post_nms_topk_test={post}]")
     if "--pallas" in _sys.argv:
         import dataclasses
 
