@@ -195,6 +195,7 @@ def main():
         return period > 0 and (it1 // period > it0 // period or it1 == max_iter)
 
     pending = []  # (step, device metrics) — drained in one readback per period
+    pcounts = []  # optimizer steps each pending entry aggregates
     steps_pending = 0
     it = start
     while it < max_iter:
@@ -206,23 +207,24 @@ def main():
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
         else:
-            # K steps per dispatch: stack K batches, one scan program (same
-            # rng split sequence as K single steps — numerics identical)
-            bs = [next(loader) for _ in range(kk)]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
-            subs = []
-            for _ in range(kk):
-                rng, sub = jax.random.split(rng)
-                subs.append(sub)
-            state, mk = step_k_fn(state, stacked, jnp.stack(subs))
+            # K steps per dispatch: one scan program, same rng split
+            # sequence as K single steps (pipelines.train_step.run_scan_chunk)
+            from ..pipelines.train_step import run_scan_chunk
+
+            state, rng, mk = run_scan_chunk(step_k_fn, state, loader, rng, kk)
             metrics = {name: jnp.mean(v) for name, v in mk.items()}
         it1 = it + kk
         pending.append((it1 - 1, metrics))
+        pcounts.append(kk)
         steps_pending += kk
         if steps_pending >= logger.period or it1 == max_iter:
-            for s, m in drain_device_metrics(pending):
-                logger.log(s, m)
-            pending, steps_pending = [], 0
+            for (s, m), c in zip(drain_device_metrics(pending), pcounts):
+                logger.log(s, m, count=c)
+            # explicit flush: with k>1 the logged steps are chunk ends and
+            # can miss every step%period==0 point — without this, a whole
+            # run produces no terminal progress and no metrics.jsonl rows
+            logger.flush(it1)
+            pending, pcounts, steps_pending = [], [], 0
         if crossed(cfg.solver.checkpoint_period, it, it1):
             save_checkpoint(ckpt_dir, state, it1)
         if eval_records is not None and crossed(eval_period, it, it1):

@@ -200,9 +200,12 @@ def batched_nms_mask_pallas(
 
 
 def supported(k: int) -> bool:
-    """Kernel applicability: K must tile into the chunked build/reduce loops
-    (k % _CHUNK == 0, the same tile both loops use) and the two [K,K] *int8*
-    scratches must fit VMEM: 2*K*K bytes <= 4 MiB, i.e. K <= 1448 — a
-    deliberately conservative slice of the ~16 MB/core budget leaving room
-    for the f32 loop transients."""
+    """Kernel applicability — BOTH constraints jointly: (1) K must tile into
+    the chunked build/reduce loops — any K <= 256 (the tile is K itself),
+    else a multiple of 256 — and (2) the two [K,K] *int8* scratches must
+    fit the VMEM slice: 2*K*K bytes <= 4 MiB. The byte bound alone would
+    allow K <= 1448, but with the divisibility gate the usable values above
+    256 are exactly {512, 768, 1024, 1280} — a deliberately conservative
+    slice of the ~16 MB/core budget leaving room for the f32 loop
+    transients."""
     return (k % min(_CHUNK, k) == 0) and (2 * k * k <= 4 * 1024 * 1024)

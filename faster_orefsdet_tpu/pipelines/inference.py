@@ -210,9 +210,16 @@ def build_multiclass_inference_fn(cfg: Config, model: CenterNet2Detector | None 
 
 def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
     """jit-compiled (params, cache, image, image_hw[, batch_stats]) →
-    Detections (batch_stats only for dla.norm="BN" models)."""
-    model = model or make_detector(cfg)
+    Detections (batch_stats only for dla.norm="BN" models).
 
+    Memoized on (cfg, model): repeat builders (periodic in-training eval,
+    per-budget loops) must reuse one jit cache — a fresh closure per call
+    forces a full retrace+recompile (minutes through the axon relay)."""
+    return _build_inference_cached(cfg, model or make_detector(cfg))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_inference_cached(cfg: Config, model: CenterNet2Detector):
     @jax.jit
     def fn(params, cache, image, image_hw, batch_stats=None):
         return query_path_single(
@@ -230,9 +237,14 @@ def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = N
     relay link is the eval bottleneck): normalization then runs on device
     and the padding is re-zeroed to the reference's normalize-then-pad
     semantics (fsod_cen.py:544-546), exactly like the train-side
-    train_step.prepare_batch."""
-    model = model or make_detector(cfg)
+    train_step.prepare_batch.
 
+    Memoized on (cfg, model) — see build_inference_fn."""
+    return _build_batched_cached(cfg, model or make_detector(cfg))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_batched_cached(cfg: Config, model: CenterNet2Detector):
     @jax.jit
     def fn(params, cache, images, image_hw, batch_stats=None):
         if images.dtype == jnp.uint8:

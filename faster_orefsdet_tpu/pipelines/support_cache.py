@@ -15,6 +15,7 @@ pkl keys {'p3','p4','p5','rcnn_8','rcnn_4'} (fsod_cen.py:329,384-389):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -45,12 +46,23 @@ def build_support_cache(
     """support_images: [K, Hs, Ws, 3] normalized, padded to ÷32 canvas
     (240px crops → 256); support_boxes: [K, 4] xyxy in crop coords.
     batch_stats: BN running stats for dla.norm="BN" models (eval mode)."""
-    strides = [8, 16, 32]
-    variables = {"params": params}
-    if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
+    run = _cache_program(model, cfg, batch_stats is not None)
+    return run(params, support_images, support_boxes, batch_stats)
 
-    def run(imgs, boxes):
+
+@functools.lru_cache(maxsize=16)
+def _cache_program(model, cfg: Config, has_stats: bool):
+    """Memoized jitted cache-build program: repeated builds (e.g. the
+    in-training --eval-period hook) must reuse one jit cache — a fresh
+    closure per call forces a full retrace+recompile, minutes each through
+    the axon remote-compile relay."""
+    strides = [8, 16, 32]
+
+    @jax.jit
+    def run(params, imgs, boxes, batch_stats):
+        variables = {"params": params}
+        if has_stats:
+            variables["batch_stats"] = batch_stats
         feats = model.apply(variables, imgs, method=model.features)
         refined = model.apply({"params": params}, feats, method=model.refine_support)
         mean_maps = {k: jnp.mean(v, axis=0) for k, v in refined.items()}
@@ -75,7 +87,7 @@ def build_support_cache(
             rcnn_4=jnp.mean(r4, axis=0),
         )
 
-    return jax.jit(run)(support_images, support_boxes)
+    return run
 
 
 def save_support_cache(path: str, cache: SupportCache) -> None:

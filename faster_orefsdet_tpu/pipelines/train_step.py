@@ -385,3 +385,22 @@ def build_train_step_scan(
         return jax.lax.scan(body, state, (batches, rngs))
 
     return train_step_k
+
+
+def run_scan_chunk(step_k, state: TrainState, loader, rng: jax.Array, kk: int):
+    """Drive one k-step chunk: pull kk batches from the loader, stack them,
+    split the rng EXACTLY like kk single steps (the numerics contract
+    tests/test_train_scan.py pins), and dispatch one scan program.
+
+    Returns (state, rng, metrics) where every metrics leaf is a [kk] device
+    array (one entry per step). Shared by cli/train.py and
+    tools/train_synthetic.py so the stacking/rng semantics live in one
+    place."""
+    bs = [next(loader) for _ in range(kk)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+    subs = []
+    for _ in range(kk):
+        rng, sub = jax.random.split(rng)
+        subs.append(sub)
+    state, mk = step_k(state, stacked, jnp.stack(subs))
+    return state, rng, mk

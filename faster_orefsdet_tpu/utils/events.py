@@ -47,6 +47,7 @@ class EventLogger:
         self.period = period
         self.printer = printer
         self._buffer: Dict[str, list] = defaultdict(list)
+        self._nsteps = 0
         self._last_time = time.perf_counter()
         self._tb = None
         if tensorboard:
@@ -58,9 +59,13 @@ class EventLogger:
             except Exception as e:  # tensorboard optional
                 self.printer(f"tensorboard unavailable ({e}); jsonl only")
 
-    def log(self, step: int, scalars: Dict[str, float]) -> None:
+    def log(self, step: int, scalars: Dict[str, float], count: int = 1) -> None:
+        """count: how many optimizer steps this entry aggregates (scan-fused
+        K-step chunks log once per chunk with count=K, so time_per_iter
+        stays a true per-iteration figure)."""
         for k, v in scalars.items():
             self._buffer[k].append(float(v))
+        self._nsteps += count
         if step % self.period == 0 and step > 0:
             self.flush(step)
 
@@ -69,7 +74,7 @@ class EventLogger:
             return
         now = time.perf_counter()
         means = {k: sum(v) / len(v) for k, v in self._buffer.items()}
-        n = max(len(v) for v in self._buffer.values())
+        n = self._nsteps or max(len(v) for v in self._buffer.values())
         means["iteration"] = step
         means["time_per_iter"] = (now - self._last_time) / max(n, 1)
         with open(self.path, "a") as f:
@@ -85,4 +90,5 @@ class EventLogger:
             f"iter {step}  {loss_str}  ({means['time_per_iter']:.3f} s/it)"
         )
         self._buffer.clear()
+        self._nsteps = 0
         self._last_time = now

@@ -21,6 +21,49 @@ from faster_orefsdet_tpu.utils.params import init_params
 from test_train_step import make_batch, tiny_cfg
 
 
+def test_event_logger_chunk_counts(tmp_path):
+    """K-step chunks log once per chunk with count=K: time_per_iter must
+    divide by optimizer STEPS, and the explicit drain-time flush must write
+    rows even when chunk-end steps never hit step % period == 0."""
+    import json
+    import time
+
+    from faster_orefsdet_tpu.utils.events import EventLogger
+
+    lg = EventLogger(str(tmp_path), period=20, printer=lambda *a: None)
+    t0 = lg._last_time
+    for chunk in range(3):  # 3 chunks of k=8 -> steps 7, 15, 23 (never %20==0)
+        lg.log(chunk * 8 + 7, {"total_loss": 1.0}, count=8)
+    lg.flush(24)
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(rows) == 1 and rows[0]["iteration"] == 24
+    elapsed = lg._last_time - t0
+    # divided by the 24 steps, not the 3 buffered entries
+    assert abs(rows[0]["time_per_iter"] - elapsed / 24) < 1e-9
+    assert lg._nsteps == 0  # reset after flush
+
+
+def test_inference_builders_memoized():
+    """Repeat builds (periodic in-training eval) must return the SAME jitted
+    callable so jit's compile cache hits — a fresh closure per call costs a
+    full recompile per eval through the axon relay."""
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import (
+        build_batched_inference_fn,
+        build_inference_fn,
+        make_detector,
+    )
+    from faster_orefsdet_tpu.pipelines.support_cache import _cache_program
+
+    cfg = get_config("finetune_vovnet")
+    model = make_detector(cfg)
+    assert build_inference_fn(cfg, model) is build_inference_fn(cfg, model)
+    assert build_batched_inference_fn(cfg, model) is build_batched_inference_fn(
+        cfg, model
+    )
+    assert _cache_program(model, cfg, False) is _cache_program(model, cfg, False)
+
+
 def test_scan_k_steps_match_sequential():
     cfg = tiny_cfg()
     model = make_detector(cfg)

@@ -66,7 +66,7 @@ def main():
         step_k = build_train_step_scan(cfg, model, tx)
 
     rng = jax.random.PRNGKey(1)
-    losses = []  # device scalars — read back in bulk (keeps the queue deep)
+    losses = []  # device arrays ([1] or [kk]) — read back in bulk at the end
     tw = time.time()
     last_it = 0
     it = 0
@@ -76,24 +76,21 @@ def main():
             batch = next(loader)
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub)
-            losses.append(metrics["total_loss"])
+            losses.append(metrics["total_loss"][None])
         else:
-            bs = [next(loader) for _ in range(kk)]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
-            subs = []
-            for _ in range(kk):
-                rng, sub = jax.random.split(rng)
-                subs.append(sub)
-            state, mk = step_k(state, stacked, jnp.stack(subs))
-            losses.append(mk["total_loss"][-1])
+            from faster_orefsdet_tpu.pipelines.train_step import run_scan_chunk
+
+            state, rng, mk = run_scan_chunk(step_k, state, loader, rng, kk)
+            losses.append(mk["total_loss"])  # [kk] — per-STEP losses, so the
+            # first20/last20 summary below stays comparable across k values
         it += kk
         if (it - kk) % 20 < kk or it == iters:
             now = time.time()  # marginal window ms/it (first window = compile)
-            print(f"it {it - 1:4d}  loss {float(losses[-1]):.3f}  "
+            print(f"it {it - 1:4d}  loss {float(losses[-1][-1]):.3f}  "
                   f"({(now - tw) / max(it - last_it, 1) * 1000:.0f} ms/it)",
                   flush=True)
             tw, last_it = time.time(), it
-    losses = np.asarray(jax.device_get(jnp.stack(losses)))
+    losses = np.concatenate(jax.device_get(losses))
     print(f"loss first20 {np.mean(losses[:20]):.3f} -> last20 {np.mean(losses[-20:]):.3f}")
 
     cache = encode_support_set(model, state.params, entries, cfg,
