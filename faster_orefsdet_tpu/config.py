@@ -217,6 +217,11 @@ class Config:
     # box decode, NMS and losses always run f32). "bfloat16" doubles MXU
     # throughput and halves HBM traffic; default f32 for exact parity tests.
     compute_dtype: str = "float32"
+    # Post-training quantization for serving: "none" | "int8" (W8A8 symmetric,
+    # per-out-channel weights / dynamic per-tensor activations, int32 MXU
+    # accumulation — ops/quant.py). Plumbed for the vovnet_fpn family's dense
+    # convs (backbone + FPN); params stay f32 so checkpoints are unchanged.
+    quantize: str = "none"
     vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
     dla: DLAConfig = field(default_factory=DLAConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
@@ -308,10 +313,20 @@ def serving_vovnet_fast() -> Config:
     )
 
 
+def serving_vovnet_int8() -> Config:
+    """serving_vovnet_fast + W8A8 int8 quantization of the backbone+FPN convs
+    (ops/quant.py). TPU v5e runs int8 on the MXU at 2x the bf16 peak; AP delta
+    vs the bf16 preset is measured on the synthetic val protocol
+    (tests/test_quant.py, RESULTS.md round-3). Params stay f32 — the same
+    converted checkpoint serves all presets."""
+    return serving_vovnet_fast().replace(quantize="int8")
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
     "serving_vovnet": serving_vovnet,
     "serving_vovnet_fast": serving_vovnet_fast,
+    "serving_vovnet_int8": serving_vovnet_int8,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),

@@ -57,12 +57,19 @@ class CenterNet2Detector(nn.Module):
         if self.cfg.compute_dtype and self.cfg.compute_dtype != "float32":
             dtype = _jnp.dtype(self.cfg.compute_dtype)
         self.compute_dtype = dtype
+        quant = getattr(self.cfg, "quantize", "none") == "int8"
         name = self.cfg.backbone_name
+        if quant and name != "vovnet_fpn":
+            raise ValueError(
+                "quantize='int8' is plumbed for the vovnet_fpn family (the "
+                f"published live model); got backbone_name={name!r}"
+            )
         if name == "vovnet_fpn":
             self.backbone = VoVNet(
                 conv_body=self.cfg.vovnet.conv_body,
                 out_features=self.cfg.vovnet.out_features,
                 dtype=dtype,
+                quant=quant,
             )
             self.fpn = FPN(
                 in_features=self.cfg.fpn.in_features,
@@ -70,6 +77,7 @@ class CenterNet2Detector(nn.Module):
                 fuse_type=self.cfg.fpn.fuse_type,
                 top_levels=self.cfg.fpn.top_levels,
                 dtype=dtype,
+                quant=quant,
             )
         elif name == "dla_bifpn":
             from .bifpn import BiFPN

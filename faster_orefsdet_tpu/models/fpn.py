@@ -22,17 +22,28 @@ class FPN(nn.Module):
     fuse_type: str = "sum"
     top_levels: int = 0  # 0 = none, 1 = P6 (maxpoolless conv), matching LastLevelP6
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False  # int8 MXU path for lateral/output convs (same params)
 
     @nn.compact
     def __call__(self, bottom_up: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from .layers import QuantConv
+
+        def conv(features, ksize, name, strides=1):
+            if self.quant:
+                return QuantConv(features, (ksize, ksize), strides=strides,
+                                 padding=ksize // 2, use_bias=True,
+                                 dtype=self.dtype, name=name)
+            return nn.Conv(features, (ksize, ksize), strides=strides,
+                           padding=ksize // 2, use_bias=True, dtype=self.dtype,
+                           name=name)
+
         feats = [bottom_up[f] for f in self.in_features]  # high→low resolution
         n = len(feats)
         # stage number of the first input feature (stage3 → p3)
         first_stage = int(self.in_features[0][-1])
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
-                    name=f"lateral{first_stage + i}")(f)
+            conv(self.out_channels, 1, f"lateral{first_stage + i}")(f)
             for i, f in enumerate(feats)
         ]
         # top-down accumulation (fpn.py:126-145)
@@ -47,9 +58,8 @@ class FPN(nn.Module):
             results[i] = prev
         out = {}
         for i in range(n):
-            out[f"p{first_stage + i}"] = nn.Conv(
-                self.out_channels, (3, 3), padding=1, use_bias=True, dtype=self.dtype,
-                name=f"output{first_stage + i}",
+            out[f"p{first_stage + i}"] = conv(
+                self.out_channels, 3, f"output{first_stage + i}"
             )(results[i])
         if self.top_levels >= 1:
             # LastLevelP6: stride-2 3x3 conv on p5 (fpn.py:230-245)

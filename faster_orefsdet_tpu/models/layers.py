@@ -8,7 +8,7 @@ HWIO kernels — the natural TPU layout (lane dim = channels).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,27 +39,72 @@ def hsigmoid(x):
     return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
 
 
+class QuantConv(nn.Module):
+    """Drop-in nn.Conv replacement running on the int8 MXU path
+    (ops.quant.int8_conv): f32 master weights (SAME param tree as nn.Conv —
+    'kernel' [+ 'bias'] in HWIO, so converted checkpoints load unchanged),
+    quantized per-output-channel inside the jitted program; activations
+    quantized per-tensor dynamically. Bias stays float, added post-dequant."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None  # dequant output dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_conv
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        out_dtype = self.dtype or x.dtype
+        y = int8_conv(x, kernel, self.strides, self.padding, out_dtype=out_dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvNorm(nn.Module):
     """conv (no bias) + FrozenBN [+ relu] — the VoVNet conv3x3/conv1x1 unit
-    (vovnet.py:205-236)."""
+    (vovnet.py:205-236). quant=True swaps the conv onto the int8 MXU path
+    (identical param tree)."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     relu: bool = True
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=self.stride,
-            padding=self.kernel_size // 2,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.quant:
+            x = QuantConv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=self.stride,
+                padding=self.kernel_size // 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=self.stride,
+                padding=self.kernel_size // 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = FrozenBatchNorm(self.features, name="norm")(x)
         if self.relu:
             x = nn.relu(x)

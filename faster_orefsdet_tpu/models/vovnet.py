@@ -77,6 +77,7 @@ class OSAModule(nn.Module):
     identity: bool = False
     depthwise: bool = False
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -84,16 +85,17 @@ class OSAModule(nn.Module):
         outputs = [x]
         if self.depthwise and x.shape[-1] != self.stage_ch:
             x = ConvNorm(self.stage_ch, kernel_size=1, dtype=self.dtype,
-                         name="reduction")(x)
+                         quant=self.quant, name="reduction")(x)
         for i in range(self.layer_per_block):
             if self.depthwise:
                 x = DWConvNorm(self.stage_ch, dtype=self.dtype, name=f"layer{i}")(x)
             else:
                 x = ConvNorm(self.stage_ch, kernel_size=3, dtype=self.dtype,
-                             name=f"layer{i}")(x)
+                             quant=self.quant, name=f"layer{i}")(x)
             outputs.append(x)
         x = jnp.concatenate(outputs, axis=-1)
-        x = ConvNorm(self.concat_ch, kernel_size=1, dtype=self.dtype, name="concat")(x)
+        x = ConvNorm(self.concat_ch, kernel_size=1, dtype=self.dtype,
+                     quant=self.quant, name="concat")(x)
         x = ESEModule(self.concat_ch, dtype=self.dtype, name="ese")(x)
         if self.identity:
             x = x + identity_feat
@@ -106,6 +108,9 @@ class VoVNet(nn.Module):
     conv_body: str = "V-19-slim-eSE"
     out_features: Tuple[str, ...] = ("stage3", "stage4", "stage5")
     dtype: Optional[jnp.dtype] = None
+    # int8 MXU path for the dense 3x3/1x1 convs (depthwise convs and the eSE
+    # gate stay in the compute dtype — they are VPU-bound / accuracy gates)
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -116,13 +121,16 @@ class VoVNet(nn.Module):
             x = x.astype(self.dtype)
         # stem: stride-2, stride-1, stride-2 3x3 convs (vovnet.py:407-412);
         # dw variants use depthwise stem convs 2 and 3 (:408-411)
-        x = ConvNorm(stem_chs[0], stride=2, dtype=self.dtype, name="stem1")(x)
+        x = ConvNorm(stem_chs[0], stride=2, dtype=self.dtype,
+                     quant=self.quant, name="stem1")(x)
         if depthwise:
             x = DWConvNorm(stem_chs[1], stride=1, dtype=self.dtype, name="stem2")(x)
             x = DWConvNorm(stem_chs[2], stride=2, dtype=self.dtype, name="stem3")(x)
         else:
-            x = ConvNorm(stem_chs[1], stride=1, dtype=self.dtype, name="stem2")(x)
-            x = ConvNorm(stem_chs[2], stride=2, dtype=self.dtype, name="stem3")(x)
+            x = ConvNorm(stem_chs[1], stride=1, dtype=self.dtype,
+                         quant=self.quant, name="stem2")(x)
+            x = ConvNorm(stem_chs[2], stride=2, dtype=self.dtype,
+                         quant=self.quant, name="stem3")(x)
 
         outputs = {}
         if "stem" in self.out_features:
@@ -142,6 +150,7 @@ class VoVNet(nn.Module):
                     identity=(b > 0),
                     depthwise=depthwise,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"{name}_block{b}",
                 )(x)
             if name in self.out_features:

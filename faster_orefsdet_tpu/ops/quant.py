@@ -1,0 +1,95 @@
+"""Post-training int8 quantization (W8A8) for the serving conv path.
+
+TPU v5e's MXU runs int8 at 2x the bf16 peak (393.7 vs 196.9 TOPS), so for
+serving we offer symmetric post-training quantization: per-output-channel
+int8 weights, dynamic per-tensor int8 activations, int32 accumulation on the
+MXU, dequantized back to the compute dtype after each conv. No reference
+analog (the reference serves f32 torch); this is a TPU-serving capability in
+the spirit of its speed goal (BASELINE.md: "detection speed reaches 50 FPS").
+
+Numerics: symmetric scales (zero-point 0) keep the conv a plain int8 dot —
+no zero-point correction terms — and per-channel weight scales recover most
+of the accuracy of the f32 model (AP A/B in tests/test_quant.py and
+RESULTS.md). Quantization happens inside the jitted program: weights are
+runtime inputs under jit, so the per-call requantize cost is a few K-element
+elementwise pass, invisible next to the conv itself.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-8
+
+
+def quantize_symmetric(
+    x: jnp.ndarray, axes: Optional[Tuple[int, ...]] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization: returns (x_int8, scale) with
+    x ≈ x_int8 * scale.
+
+    axes: reduction axes for the abs-max. None = per-tensor (scalar scale);
+    otherwise the scale keeps the non-reduced axes (per-channel when axes
+    covers all but the channel dim).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=axes is not None)
+    scale = jnp.maximum(amax / 127.0, _EPS)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, str] = 0,
+    feature_group_count: int = 1,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """NHWC x HWIO convolution on the int8 MXU path.
+
+    x: [..., H, W, C] activations (any float dtype; quantized per-tensor —
+    under vmap that means per-example, the right granularity for serving).
+    kernel: [kh, kw, C/groups, O] float weights (quantized per-O-channel).
+    Returns float activations in out_dtype (default: x.dtype).
+    """
+    out_dtype = out_dtype or x.dtype
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    xq, sx = quantize_symmetric(x)  # per-tensor scalar scale
+    wq, sw = quantize_symmetric(kernel, axes=(0, 1, 2))  # [1,1,1,O]
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        xq,
+        wq,
+        strides,
+        padding,
+        dimension_numbers=dn,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * sw.reshape(1, 1, 1, -1))
+    y = y.astype(out_dtype)
+    return y[0] if squeeze else y
+
+
+def int8_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, out_dtype: Optional[jnp.dtype] = None
+) -> jnp.ndarray:
+    """[..., K] @ [K, N] on the int8 MXU path (per-tensor x, per-N-column w)."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize_symmetric(x)
+    wq, sw = quantize_symmetric(w, axes=(0,))  # [1, N]
+    y = lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
