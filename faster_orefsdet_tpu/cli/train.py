@@ -190,6 +190,15 @@ def main():
         from ..pipelines.train_step import build_train_step_scan
 
         step_k_fn = build_train_step_scan(cfg, model, tx)
+        if (max_iter - start) % k != 0:
+            # no silent compiles: the tail chunk's shorter scan is a brand-
+            # new XLA program (minutes through the remote-compile relay)
+            print(
+                f"note: {max_iter - start} remaining iters not divisible by "
+                f"--steps-per-dispatch {k}; the final "
+                f"{(max_iter - start) % k}-step chunk compiles a separate "
+                f"program — pick a divisible --max-iter to avoid it"
+            )
 
     def crossed(period, it0, it1):
         return period > 0 and (it1 // period > it0 // period or it1 == max_iter)
@@ -228,9 +237,14 @@ def main():
         if crossed(cfg.solver.checkpoint_period, it, it1):
             save_checkpoint(ckpt_dir, state, it1)
         if eval_records is not None and crossed(eval_period, it, it1):
+            t_eval = time.perf_counter()
             results = run_eval(state)
             print(f"eval @{it1}: " + str({k_: round(v, 3) for k_, v in results.items()}))
-            logger.log(it1, {f"eval/{k_}": v for k_, v in results.items()})
+            # count=0: eval scalars join the next row without inflating its
+            # step count; exclude_wall keeps eval minutes out of
+            # time_per_iter
+            logger.log(it1, {f"eval/{k_}": v for k_, v in results.items()}, count=0)
+            logger.exclude_wall(time.perf_counter() - t_eval)
         it = it1
     logger.flush(max_iter)  # short runs (< period iters) still get metrics.jsonl
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)

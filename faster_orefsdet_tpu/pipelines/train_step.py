@@ -341,6 +341,20 @@ def _train_step_impl(state, batch, rng, model, cfg, tx, axis_name):
     return TrainState(params, opt_state, state.step + 1, new_stats), metrics
 
 
+def _check_trainable(cfg: Config) -> None:
+    """PTQ is serving-only: ops.quant.int8_conv's round + int8 casts carry
+    no straight-through estimator, so d(loss)/d(kernel) through a quantized
+    conv is zero almost everywhere — a quantize!=none training run would
+    report plausible losses while the backbone never learns. Fail fast."""
+    if getattr(cfg, "quantize", "none") != "none":
+        raise ValueError(
+            f"quantize={cfg.quantize!r} is a serving-only preset (no STE in "
+            "the quantized convs — gradients would be zero). Train with "
+            "quantize=none; quantization applies to the trained weights at "
+            "serving time."
+        )
+
+
 def build_train_step(
     cfg: Config,
     model: CenterNet2Detector,
@@ -351,6 +365,7 @@ def build_train_step(
 
     Works for both stateless states (batch_stats=None) and BN states — the
     branch resolves at trace time on the state's pytree structure."""
+    _check_trainable(cfg)
 
     @jax.jit
     def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
@@ -375,6 +390,7 @@ def build_train_step_scan(
     leaf of `batches` is stacked on a leading k axis and rngs is [k] keys.
     Bit-identical to k build_train_step calls with the same per-step keys
     (tests/test_train_scan.py)."""
+    _check_trainable(cfg)
 
     @jax.jit
     def train_step_k(state: TrainState, batches: TrainBatch, rngs: jax.Array):

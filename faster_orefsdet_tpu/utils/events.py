@@ -62,18 +62,35 @@ class EventLogger:
     def log(self, step: int, scalars: Dict[str, float], count: int = 1) -> None:
         """count: how many optimizer steps this entry aggregates (scan-fused
         K-step chunks log once per chunk with count=K, so time_per_iter
-        stays a true per-iteration figure)."""
+        stays a true per-iteration figure; count=0 marks non-step scalars
+        like in-training eval results, which join the next row without
+        inflating its step count).
+
+        Flushing is the CALLER's job (the train loop flushes once per
+        drained window): an internal step%period flush here would fire
+        mid-drain and split the window into rows with duplicated iteration
+        labels and wall time misattributed to a partial buffer."""
+        w = max(count, 1)  # count=0 entries still carry their own value
         for k, v in scalars.items():
-            self._buffer[k].append(float(v))
+            self._buffer[k].append((float(v), w))
         self._nsteps += count
-        if step % self.period == 0 and step > 0:
-            self.flush(step)
+
+    def exclude_wall(self, seconds: float) -> None:
+        """Remove non-training wall time (e.g. an in-training eval pass)
+        from the next flush's time_per_iter."""
+        self._last_time += seconds
 
     def flush(self, step: int) -> None:
         if not self._buffer:
             return
         now = time.perf_counter()
-        means = {k: sum(v) / len(v) for k, v in self._buffer.items()}
+        # per-step mean, not mean-of-chunk-means: a window of chunk sizes
+        # [8, 8, 3] weights the 3-step chunk's losses by 3, not 1/3 of the
+        # window
+        means = {
+            k: sum(v * w for v, w in pairs) / sum(w for _, w in pairs)
+            for k, pairs in self._buffer.items()
+        }
         n = self._nsteps or max(len(v) for v in self._buffer.values())
         means["iteration"] = step
         means["time_per_iter"] = (now - self._last_time) / max(n, 1)

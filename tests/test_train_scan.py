@@ -43,6 +43,72 @@ def test_event_logger_chunk_counts(tmp_path):
     assert lg._nsteps == 0  # reset after flush
 
 
+def test_event_logger_no_mid_drain_flush(tmp_path):
+    """The k=1 drain pattern (one log per step, one explicit flush per
+    window) must write exactly ONE row per window: log() has no internal
+    step%period flush, so a step landing on a period boundary mid-drain
+    cannot split the window into duplicate-iteration rows with
+    misattributed wall time."""
+    import json
+
+    from faster_orefsdet_tpu.utils.events import EventLogger
+
+    lg = EventLogger(str(tmp_path), period=20, printer=lambda *a: None)
+    for window_end in (20, 40, 60):
+        # steps window_end-20 .. window_end-1; several hit step%20==0
+        for s in range(window_end - 20, window_end):
+            lg.log(s, {"total_loss": 1.0})
+        lg.flush(window_end)
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [r["iteration"] for r in rows] == [20, 40, 60]
+
+
+def test_event_logger_weighted_means_and_eval_entries(tmp_path):
+    """Unequal chunk sizes weight by step count (per-step mean, not
+    mean-of-chunk-means); count=0 eval entries join the row without
+    inflating _nsteps; exclude_wall removes eval time from time_per_iter."""
+    import json
+    import time
+
+    from faster_orefsdet_tpu.utils.events import EventLogger
+
+    lg = EventLogger(str(tmp_path), period=19, printer=lambda *a: None)
+    lg.log(7, {"total_loss": 1.0}, count=8)
+    lg.log(15, {"total_loss": 1.0}, count=8)
+    lg.log(18, {"total_loss": 2.0}, count=3)  # tail chunk, 3 steps
+    lg.log(19, {"eval/AP": 50.0}, count=0)  # in-training eval result
+    t0 = lg._last_time
+    lg.exclude_wall(100.0)  # pretend the eval took 100 s
+    assert lg._last_time == t0 + 100.0
+    lg._last_time = t0  # undo so time_per_iter stays tiny/positive
+    lg.flush(19)
+    (row,) = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    # (8*1 + 8*1 + 3*2) / 19, NOT (1+1+2)/3
+    assert abs(row["total_loss"] - 22.0 / 19.0) < 1e-9
+    assert row["eval/AP"] == 50.0
+    assert row["iteration"] == 19
+    # 19 optimizer steps in the window (the count=0 entry adds none)
+    assert row["time_per_iter"] > 0
+
+
+def test_train_step_rejects_quantized_config():
+    """PTQ presets are serving-only: the quantized convs have no straight-
+    through estimator, so training with quantize!='none' must fail fast
+    instead of silently learning nothing (pipelines/train_step._check_trainable)."""
+    import dataclasses
+
+    import optax
+    import pytest
+
+    cfg = dataclasses.replace(tiny_cfg(), quantize="int8")
+    model = make_detector(cfg)
+    tx = optax.sgd(0.1)
+    with pytest.raises(ValueError, match="serving-only"):
+        build_train_step(cfg, model, tx)
+    with pytest.raises(ValueError, match="serving-only"):
+        build_train_step_scan(cfg, model, tx)
+
+
 def test_inference_builders_memoized():
     """Repeat builds (periodic in-training eval) must return the SAME jitted
     callable so jit's compile cache hits — a fresh closure per call costs a

@@ -64,6 +64,9 @@ def main():
         from faster_orefsdet_tpu.pipelines.train_step import build_train_step_scan
 
         step_k = build_train_step_scan(cfg, model, tx)
+        if iters % k != 0:
+            print(f"note: {iters} iters % k={k} != 0 — the {iters % k}-step "
+                  "tail chunk compiles one extra program", flush=True)
 
     rng = jax.random.PRNGKey(1)
     losses = []  # device arrays ([1] or [kk]) — read back in bulk at the end
