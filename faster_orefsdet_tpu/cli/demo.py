@@ -44,6 +44,12 @@ def parse_args():
         "--max-frames", type=int, default=0,
         help="stop video/webcam after N frames (0 = whole stream)",
     )
+    p.add_argument(
+        "--num-devices", type=int, default=1,
+        help=">1 shards --frame-batch over a device mesh "
+        "(parallel.serve_dp data-parallel serving; frame-batch must be "
+        "divisible by it)",
+    )
     p.add_argument("--output", default="results")
     p.add_argument("--params", help=".npz params (random init if omitted)")
     p.add_argument("--support-index", required=True)
@@ -150,9 +156,30 @@ def main():
             # fused serving program at the fixed camera resolution: RAW
             # uint8 frames in, boxes in frame coords out — resize, normalize
             # and the whole query path in ONE dispatch per fb frames
-            from ..pipelines.inference import build_serving_fn
+            if args.num_devices > 1:
+                # data-parallel serving: frames sharded over the mesh,
+                # params/cache replicated (parallel/serve_dp.py)
+                if fb % args.num_devices:
+                    raise SystemExit(
+                        f"--frame-batch {fb} not divisible by "
+                        f"--num-devices {args.num_devices}"
+                    )
+                from ..parallel import make_mesh, make_sharded_serving
 
-            sfn, _ = build_serving_fn(cfg, (h, w), model)
+                mesh = make_mesh(args.num_devices)
+                serve, _ = make_sharded_serving(
+                    cfg, (h, w), mesh, params, cache, model=model
+                )
+
+                def sfn_call(frames):
+                    return serve(jnp.asarray(np.stack(frames)))
+            else:
+                from ..pipelines.inference import build_serving_fn
+
+                sfn, _ = build_serving_fn(cfg, (h, w), model)
+
+                def sfn_call(frames):
+                    return sfn(params, cache, jnp.asarray(np.stack(frames)))
             fbuf = []
 
             def flush_frames():
@@ -164,7 +191,7 @@ def main():
                 while len(frames) < fb:
                     frames.append(frames[0])
                 t0 = time.perf_counter()
-                det = sfn(params, cache, jnp.asarray(np.stack(frames)))
+                det = sfn_call(frames)
                 boxes = np.asarray(det.boxes)
                 scores = np.asarray(det.scores)
                 valid = np.asarray(det.valid)

@@ -135,3 +135,75 @@ def test_demo_cli_max_frames(tmp_path, monkeypatch):
         n += 1
     cap.release()
     assert n == 3
+
+
+@pytest.mark.slow
+def test_demo_cli_video_dp(tmp_path, monkeypatch):
+    """--num-devices 8 shards the fused frame-batch serving program over the
+    virtual mesh (parallel/serve_dp wired through the demo CLI): 10-frame
+    clip -> one full 8-frame sharded dispatch + one padded tail dispatch."""
+    import cv2
+    import numpy as np
+
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    records, entries = make_synthetic_setup(str(tmp_path / "data"), num_images=3,
+                                            seed=0, crop_size=96)
+    idx = str(tmp_path / "support_index.json")
+    save_support_index(idx, entries)
+    clip = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    base = cv2.resize(cv2.imread(records[0].file_name), (128, 96))
+    for i in range(10):
+        writer.write(np.roll(base, i * 3, axis=1))
+    writer.release()
+
+    out_vid = str(tmp_path / "out" / "clip_dp.mp4")
+    argv = [
+        "demo", "--video-input", clip, "--output", out_vid,
+        "--num-devices", "8", "--frame-batch", "8",
+        "--support-index", idx, "--confidence", "0.0",
+        "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
+        "roi.detections_per_image=8",
+        "input.min_size_test=96", "input.max_size_test=160",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    main()
+    cap = cv2.VideoCapture(out_vid)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10
+
+
+def test_demo_cli_dp_indivisible_frame_batch_rejected(monkeypatch, tmp_path):
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    _, entries = make_synthetic_setup(str(tmp_path / "d"), num_images=2,
+                                      seed=0, crop_size=96)
+    idx = str(tmp_path / "i.json")
+    save_support_index(idx, entries)
+    import cv2
+    import numpy as np
+
+    clip = str(tmp_path / "c.avi")
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    w.write(np.zeros((96, 128, 3), np.uint8))
+    w.release()
+    argv = [
+        "demo", "--video-input", clip, "--output", str(tmp_path / "o"),
+        "--num-devices", "8", "--frame-batch", "6",
+        "--support-index", idx,
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    with pytest.raises(SystemExit, match="not divisible"):
+        main()
