@@ -1,8 +1,8 @@
 """Data-parallel serving: the fused raw-pixels→boxes program over a mesh.
 
-Single-chip serving is occupancy-bound on this model (RESULTS.md round-3:
-4% MXU / 5% HBM at the batch-128 knee — the V-19-slim kernels are simply
-small), so the remaining throughput lever is scale-out. The reference has no
+Single-chip serving runs at the HBM roofline on this model (RESULTS.md
+round-3 corrected analysis: ~815 GB/s of fusion-counted bytes at the
+batch-128 knee), so the remaining throughput lever is scale-out. The reference has no
 serving story beyond one-GPU demo.py (demo/demo.py:77-136); here the fused
 serving program (pipelines.inference.build_serving_fn — resize + normalize +
 query path in ONE XLA program) runs with the frame batch sharded over the

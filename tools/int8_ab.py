@@ -9,8 +9,9 @@ single-scale), then on the trained weights:
      reps in ONE program, relay RTT subtracted — bench.py methodology).
 
 Measured result (RESULTS.md): AP-neutral (63.78 vs 63.90) but 35% SLOWER —
-the occupancy-bound slim model gains nothing from the int8 MXU while every
-conv pays a dynamic requant pass.
+serving is HBM-roofline-bound and the dynamic requant passes add
+activation traffic every conv, which the int8 MXU's FLOP peak cannot
+repay.
 
 Usage: python tools/int8_ab.py [iters=800] [n_val=256]
 """

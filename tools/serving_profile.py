@@ -104,15 +104,26 @@ def main():
 
     rtt = measure_rtt()
 
+    def unchained(params, cache, images, hws):
+        det = jax.vmap(
+            lambda img, hw: query_path_single(model, params, cache, img, hw, cfg)
+        )(images, hws)
+        return jnp.sum(det.scores)
+
     for tag, params in variants.items():
         fn = batched_chained(params)
         t0 = time.perf_counter()
         compiled = jax.jit(fn).lower(params, cache, images, hws).compile()
         print(f"[{tag}] compile {time.perf_counter() - t0:.0f}s")
-        cs = cost_summary(compiled)
-        # per-rep, per-image normalization of the R-chained program
-        per_img = {k: round(v / reps / batch, 3) for k, v in cs.items()}
-        print(f"[{tag}] cost (whole program): {cs}")
+        # cost analysis on the UNCHAINED single-rep program: XLA counts a
+        # rolled fori_loop body ONCE (dividing the chained program's cost by
+        # reps understated batch-128 costs 10x, round-3 late fix) but
+        # sometimes UNROLLS small-trip loops (making the division correct
+        # for some shapes) — so never read costs off the chained program
+        compiled_1 = jax.jit(unchained).lower(params, cache, images, hws).compile()
+        cs = cost_summary(compiled_1)
+        per_img = {k: round(v / batch, 3) for k, v in cs.items()}
+        print(f"[{tag}] cost (single-rep program): {cs}")
         print(f"[{tag}] cost per image: {per_img}")
         runs = []
         for _ in range(3):
@@ -151,7 +162,13 @@ def main():
         )(agn_hms[0], agn_hms[1], agn_hms[2],
           bbox_regs[0], bbox_regs[1], bbox_regs[2], hws)
 
-        def time_phase(name, fn, *args):
+        def time_phase(name, body, *args):
+            def fn(*a):
+                def step(i, carry):
+                    return body(carry, *a)
+                return jax.lax.fori_loop(0, reps, step,
+                                         jnp.asarray(0.0, jnp.float32))
+
             compiled = jax.jit(fn).lower(*args).compile()
             runs = []
             for _ in range(3):
@@ -161,27 +178,26 @@ def main():
             # one dispatch RTT per timed call would otherwise smear
             # RTT/(reps*batch) (~23 us/img at 128x10) into every phase
             sec = max(min(runs) - rtt, 1e-9)
+            # cost from the UNCHAINED body (rolled-loop costs count once;
+            # see the main-program comment) — phase bytes remain fusion-
+            # inflated upper bounds
+            comp1 = jax.jit(
+                lambda *a: body(jnp.asarray(0.0, jnp.float32), *a)
+            ).lower(*args).compile()
             print(f"[phase {name}] {sec/reps/batch*1e6:.0f} us/img "
-                  f"(cost/img: {({k: round(v/reps/batch, 3) for k, v in cost_summary(compiled).items()})})",
+                  f"(cost/img: {({k: round(v/batch, 3) for k, v in cost_summary(comp1).items()})})",
                   flush=True)
-
-        def chain(body):
-            def fn(*args):
-                def step(i, carry):
-                    return body(carry, *args)
-                return jax.lax.fori_loop(0, reps, step, jnp.asarray(0.0, jnp.float32))
-            return fn
 
         time_phase(
             "backbone+fpn",
-            chain(lambda c_, p, im: jnp.sum(
+            lambda c_, p, im: jnp.sum(
                 model.apply({"params": p}, im + c_, method=model.features)["p5"]
-            ).astype(jnp.float32) * 1e-12),
+            ).astype(jnp.float32) * 1e-12,
             params, images,
         )
         time_phase(
             "cgm+head",
-            chain(lambda c_, p, f: sum(
+            lambda c_, p, f: sum(
                 jnp.sum(h).astype(jnp.float32) for h in model.apply(
                     {"params": p},
                     model.apply(
@@ -190,16 +206,16 @@ def main():
                     ),
                     method=model.proposal_head,
                 )[0]
-            ) * 1e-12),
+            ) * 1e-12,
             params, feats,
         )
         time_phase(
             "decode+nms",
-            chain(lambda c_, h3, h4, h5, r3, r4, r5: jnp.sum(jax.vmap(
+            lambda c_, h3, h4, h5, r3, r4, r5: jnp.sum(jax.vmap(
                 lambda a, b, cc, d, e, f_, hw: decode_proposals(
                     [a, b, cc], [d, e, f_], cfg.centernet, canvas, hw, training=False
                 ).scores
-            )(h3 + c_, h4, h5, r3, r4, r5, hws)) * 1e-12),
+            )(h3 + c_, h4, h5, r3, r4, r5, hws)) * 1e-12,
             agn_hms[0], agn_hms[1], agn_hms[2],
             bbox_regs[0], bbox_regs[1], bbox_regs[2],
         )
@@ -219,9 +235,9 @@ def main():
 
         time_phase(
             "roi+final-nms",
-            chain(lambda c_, p, f3, f4, f5, bxs, vld, scs: jnp.sum(jax.vmap(
+            lambda c_, p, f3, f4, f5, bxs, vld, scs: jnp.sum(jax.vmap(
                 lambda a, b, cc, d, e, f_, hw: roi_one(c_, p, a, b, cc, d, e, f_, hw)
-            )(f3, f4, f5, bxs, vld, scs, hws)) ),
+            )(f3, f4, f5, bxs, vld, scs, hws)),
             params, feats["p3"], feats["p4"], feats["p5"],
             props.boxes, props.valid, props.scores,
         )

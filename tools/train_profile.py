@@ -8,7 +8,7 @@ a data dependency, RTT-subtracted — _harness methodology):
 plus XLA cost analysis (GFLOPs / bytes) for each, so fwd:bwd:update
 ratios and the optimizer overhead are visible.
 
-Usage: python tools/train_profile.py [b=8] [reps=20] [shot=5]
+Usage: python tools/train_profile.py [b=8] [reps=20] [shot=5] [f32|bf16]
 """
 
 import os as _os
@@ -70,8 +70,14 @@ def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "f32"
 
     cfg = get_config("finetune_vovnet")
+    if dtype == "bf16":
+        # round-2 measured bf16 mixed-precision training AP-neutral; params
+        # stay f32, compute casts to bf16
+        cfg = cfg.replace(compute_dtype="bfloat16")
+    print(f"[train_profile] B={b} shot={s} dtype={dtype}", flush=True)
     model = make_detector(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
     tx = build_optimizer(cfg.solver, params)
@@ -108,9 +114,14 @@ def main():
         f = chained(body)
         t0 = time.perf_counter()
         compiled = jax.jit(f).lower(params, batch, key).compile()
-        gflops, mb = cost_of(compiled)
+        # cost from the UNCHAINED program: XLA counts a rolled fori_loop
+        # body ONCE, so dividing the chained cost by reps understates by
+        # reps-x (round-3 late fix, same as serving_profile)
+        comp1 = jax.jit(lambda p, pb, k: body(p, pb, k)).lower(
+            params, batch, key).compile()
+        gflops, mb = cost_of(comp1)
         print(f"[{name}] compile {time.perf_counter()-t0:.0f}s  "
-              f"cost/it: {gflops/reps:.1f} GFLOP, {mb/reps:.0f} MB", flush=True)
+              f"cost/it: {gflops:.1f} GFLOP, {mb:.0f} MB", flush=True)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
