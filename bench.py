@@ -129,7 +129,7 @@ def main():
     extra = {
         "per_image_ms_pure": round(1000.0 / pure_fps, 3),
         "pure_fps_min_max_over_reps": [round(fps_band[0], 1), round(fps_band[-1], 1)],
-        "session_variance_note": "shared-relay sessions vary ~5%; round-2 band 1450-1520",
+        "session_variance_note": "shared-relay sessions vary ~5%; the min/max band above is this session's measured spread",
         "relay_rtt_ms_subtracted": round(rtt * 1000, 2),
         "dispatch_loop_images_per_sec": round(sustained_fps, 1),
         "single_dispatch_readback_ms": round(lat_single * 1000, 2),

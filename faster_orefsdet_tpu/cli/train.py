@@ -51,7 +51,10 @@ def parse_args():
         help="fuse K SGD steps into one XLA program (lax.scan) — amortizes "
         "the per-dispatch relay RTT K-fold on remote TPU setups; identical "
         "numerics to K single steps (tests/test_train_scan.py). "
-        "Single-device only; metrics log as per-chunk means",
+        "Single-device only; metrics log as per-chunk means. Checkpoints "
+        "and evals fire at the first chunk BOUNDARY that crosses their "
+        "period (e.g. period=1000, K=8 saves at 1004) — pick K dividing "
+        "the periods for exact cadence",
     )
     p.add_argument(
         "--eval-period", type=int, default=None,
@@ -226,6 +229,18 @@ def main():
         pending.append((it1 - 1, metrics))
         pcounts.append(kk)
         steps_pending += kk
+        if eval_records is not None and crossed(eval_period, it, it1):
+            # eval BEFORE the drain/flush: at it1 == max_iter the scalars
+            # then join the final row instead of landing in a second row
+            # with the same iteration label and a bogus time_per_iter
+            t_eval = time.perf_counter()
+            results = run_eval(state)
+            print(f"eval @{it1}: " + str({k_: round(v, 3) for k_, v in results.items()}))
+            # count=0: eval scalars join the next row without inflating its
+            # step count; exclude_wall keeps eval minutes out of
+            # time_per_iter
+            logger.log(it1, {f"eval/{k_}": v for k_, v in results.items()}, count=0)
+            logger.exclude_wall(time.perf_counter() - t_eval)
         if steps_pending >= logger.period or it1 == max_iter:
             for (s, m), c in zip(drain_device_metrics(pending), pcounts):
                 logger.log(s, m, count=c)
@@ -236,15 +251,6 @@ def main():
             pending, pcounts, steps_pending = [], [], 0
         if crossed(cfg.solver.checkpoint_period, it, it1):
             save_checkpoint(ckpt_dir, state, it1)
-        if eval_records is not None and crossed(eval_period, it, it1):
-            t_eval = time.perf_counter()
-            results = run_eval(state)
-            print(f"eval @{it1}: " + str({k_: round(v, 3) for k_, v in results.items()}))
-            # count=0: eval scalars join the next row without inflating its
-            # step count; exclude_wall keeps eval minutes out of
-            # time_per_iter
-            logger.log(it1, {f"eval/{k_}": v for k_, v in results.items()}, count=0)
-            logger.exclude_wall(time.perf_counter() - t_eval)
         it = it1
     logger.flush(max_iter)  # short runs (< period iters) still get metrics.jsonl
     save_params_npz(os.path.join(cfg.output_dir, "model_final.npz"), state.params)

@@ -218,9 +218,12 @@ class Config:
     # throughput and halves HBM traffic; default f32 for exact parity tests.
     compute_dtype: str = "float32"
     # Post-training quantization for serving: "none" | "int8" (W8A8 symmetric,
-    # per-out-channel weights / dynamic per-tensor activations, int32 MXU
-    # accumulation — ops/quant.py). Plumbed for the vovnet_fpn family's dense
-    # convs (backbone + FPN); params stay f32 so checkpoints are unchanged.
+    # per-out-channel weights / dynamic per-example activations, int32 MXU
+    # accumulation — ops/quant.py) | "int8_static" (same weights path, but
+    # activation scales are CALIBRATED constants — pipelines/quant_calib.py —
+    # so no in-program abs-max reductions; builders then require act_scales=).
+    # Plumbed for the vovnet_fpn family's dense convs (backbone + FPN);
+    # params stay f32 so checkpoints are unchanged.
     quantize: str = "none"
     vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
     dla: DLAConfig = field(default_factory=DLAConfig)
@@ -322,11 +325,22 @@ def serving_vovnet_int8() -> Config:
     return serving_vovnet_fast().replace(quantize="int8")
 
 
+def serving_vovnet_int8_static() -> Config:
+    """serving_vovnet_fast + STATIC-calibrated W8A8 int8 (ops/quant.py +
+    pipelines/quant_calib.py): activation scales measured once on a
+    calibration batch and baked into the program, removing the dynamic
+    abs-max reduction passes that made the dynamic-int8 preset 35% slower
+    on the HBM-bandwidth-bound serving path (RESULTS.md round-3/4 A/B).
+    Builders require act_scales= (calibrate_act_scales)."""
+    return serving_vovnet_fast().replace(quantize="int8_static")
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
     "serving_vovnet": serving_vovnet,
     "serving_vovnet_fast": serving_vovnet_fast,
     "serving_vovnet_int8": serving_vovnet_int8,
+    "serving_vovnet_int8_static": serving_vovnet_int8_static,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),

@@ -57,7 +57,7 @@ class CenterNet2Detector(nn.Module):
         if self.cfg.compute_dtype and self.cfg.compute_dtype != "float32":
             dtype = _jnp.dtype(self.cfg.compute_dtype)
         self.compute_dtype = dtype
-        quant = getattr(self.cfg, "quantize", "none") == "int8"
+        quant = getattr(self.cfg, "quantize", "none") in ("int8", "int8_static")
         name = self.cfg.backbone_name
         if quant and name != "vovnet_fpn":
             raise ValueError(

@@ -44,7 +44,13 @@ class QuantConv(nn.Module):
     (ops.quant.int8_conv): f32 master weights (SAME param tree as nn.Conv —
     'kernel' [+ 'bias'] in HWIO, so converted checkpoints load unchanged),
     quantized per-output-channel inside the jitted program; activations
-    quantized per-tensor dynamically. Bias stays float, added post-dequant."""
+    quantized per-example dynamically, or with a calibrated static scale
+    when the trace runs inside ops.quant.static_act_scales(...) (keyed by
+    this module's path). Bias stays float, added post-dequant.
+
+    Calibration: applying with mutable=["act_amax"] records the conv-input
+    abs-max into that collection (pipelines.quant_calib turns it into the
+    static-scale dict)."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -55,7 +61,7 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import int8_conv
+        from ..ops import quant
 
         kh, kw = self.kernel_size
         kernel = self.param(
@@ -64,7 +70,22 @@ class QuantConv(nn.Module):
             (kh, kw, x.shape[-1], self.features),
         )
         out_dtype = self.dtype or x.dtype
-        y = int8_conv(x, kernel, self.strides, self.padding, out_dtype=out_dtype)
+        if self.is_mutable_collection("act_amax"):
+            self.sow(
+                "act_amax",
+                "amax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+            )
+        act_scale = None
+        scales = quant.current_act_scales()
+        if scales is not None:
+            act_scale = scales.get("/".join(self.path))
+        y = quant.int8_conv(
+            x, kernel, self.strides, self.padding,
+            out_dtype=out_dtype, act_scale=act_scale,
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)

@@ -2,10 +2,24 @@
 
 TPU v5e's MXU runs int8 at 2x the bf16 peak (393.7 vs 196.9 TOPS), so for
 serving we offer symmetric post-training quantization: per-output-channel
-int8 weights, dynamic per-tensor int8 activations, int32 accumulation on the
-MXU, dequantized back to the compute dtype after each conv. No reference
-analog (the reference serves f32 torch); this is a TPU-serving capability in
-the spirit of its speed goal (BASELINE.md: "detection speed reaches 50 FPS").
+int8 weights, int8 activations, int32 accumulation on the MXU, dequantized
+back to the compute dtype after each conv. No reference analog (the
+reference serves f32 torch); this is a TPU-serving capability in the spirit
+of its speed goal (BASELINE.md: "detection speed reaches 50 FPS").
+
+Two activation-scale modes:
+
+- DYNAMIC (default): per-example abs-max computed in-program. Simple, no
+  calibration, but each conv input pays an extra reduction+broadcast pass
+  over the activation tensor — measurably SLOWER on this HBM-bandwidth-bound
+  model family (round-3 RESULTS.md: 2,367 vs 3,611 img/s).
+- STATIC (calibrated): per-conv scalar scales measured once on a calibration
+  batch (pipelines.quant_calib) and baked into the program as constants via
+  `static_act_scales(...)` around the trace (models.layers.QuantConv looks
+  its path up). The quantize step becomes a pure elementwise op that XLA
+  fuses into the producing fusion — no reduction pass, and inter-conv
+  activations can materialize as int8 (half the bf16 bytes) on the
+  HBM-bound serving path.
 
 Numerics: symmetric scales (zero-point 0) keep the conv a plain int8 dot —
 no zero-point correction terms — and per-channel weight scales recover most
@@ -17,12 +31,38 @@ elementwise pass, invisible next to the conv itself.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+import contextlib
+from typing import Dict, Mapping, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax
 
 _EPS = 1e-8
+
+# Trace-time stack of {module_path: float_scale} dicts for static activation
+# quantization. Only consulted while a trace is being built (QuantConv reads
+# it in Python), so the scales become compile-time constants of the program.
+_ACT_SCALES_STACK: list = []
+
+
+@contextlib.contextmanager
+def static_act_scales(scales: Optional[Mapping[str, float]]):
+    """Activate calibrated per-conv activation scales for traces built inside
+    this context. `scales` maps "/".join(module.path) of each QuantConv to a
+    positive float (see pipelines.quant_calib.calibrate_act_scales). None is
+    a no-op (dynamic quantization)."""
+    if scales is None:
+        yield
+        return
+    _ACT_SCALES_STACK.append(dict(scales))
+    try:
+        yield
+    finally:
+        _ACT_SCALES_STACK.pop()
+
+
+def current_act_scales() -> Optional[Dict[str, float]]:
+    return _ACT_SCALES_STACK[-1] if _ACT_SCALES_STACK else None
 
 
 def quantize_symmetric(
@@ -42,6 +82,14 @@ def quantize_symmetric(
     return q, scale
 
 
+def quantize_static(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """int8-quantize with a fixed (compile-time) scale: pure elementwise."""
+    return (
+        jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127)
+        .astype(jnp.int8)
+    )
+
+
 def int8_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -49,11 +97,16 @@ def int8_conv(
     padding: Union[int, str] = 0,
     feature_group_count: int = 1,
     out_dtype: Optional[jnp.dtype] = None,
+    act_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """NHWC x HWIO convolution on the int8 MXU path.
 
-    x: [..., H, W, C] activations (any float dtype; quantized per-tensor —
-    under vmap that means per-example, the right granularity for serving).
+    x: [H, W, C] or [B, H, W, C] activations (any float dtype). Activation
+    quantization is per-example: the dynamic abs-max reduces over the
+    spatial+channel axes only, keeping any leading batch axis — one outlier
+    image cannot degrade the whole batch. With `act_scale` (a calibrated
+    Python float) the quantize is a pure elementwise op with a baked-in
+    constant instead (static mode — see module docstring).
     kernel: [kh, kw, C/groups, O] float weights (quantized per-O-channel).
     Returns float activations in out_dtype (default: x.dtype).
     """
@@ -61,7 +114,12 @@ def int8_conv(
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
-    xq, sx = quantize_symmetric(x)  # per-tensor scalar scale
+    if act_scale is not None:
+        xq = quantize_static(x, act_scale)
+        sx = jnp.float32(act_scale)
+    else:
+        # per-example scale: reduce spatial+channel, keep the batch axis
+        xq, sx = quantize_symmetric(x, axes=(1, 2, 3))  # sx [B,1,1,1]
     wq, sw = quantize_symmetric(kernel, axes=(0, 1, 2))  # [1,1,1,O]
     if isinstance(strides, int):
         strides = (strides, strides)

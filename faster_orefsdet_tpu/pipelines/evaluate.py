@@ -71,13 +71,17 @@ def evaluate(
     canvas_hw: Optional[Tuple[int, int]] = None,
     batch_stats=None,
     batch_size: int = 1,
+    act_scales=None,
 ) -> Dict[str, float]:
     """Run the eval loop; returns the AP table + timing stats.
 
     batch_size > 1 groups images on the shared eval canvas and runs the
     vmapped batched query path — each device dispatch covers B images, so
     the per-dispatch relay RTT (~30-40 ms on this setup) amortizes B-fold.
-    Identical detections to batch-1 (the query path is per-image pure)."""
+    Identical detections to batch-1 (the query path is per-image pure).
+
+    act_scales: calibrated static int8 activation scales
+    (pipelines.quant_calib) — required when cfg.quantize == "int8_static"."""
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
     evaluator = COCOEvaluator()
     compute_times: List[float] = []
@@ -93,7 +97,7 @@ def evaluate(
     if batch_size > 1:
         from ..pipelines.inference import build_batched_inference_fn
 
-        binfer = build_batched_inference_fn(cfg, model)
+        binfer = build_batched_inference_fn(cfg, model, act_scales=act_scales)
         buf: List = []
         nb = 0
 
@@ -133,7 +137,7 @@ def evaluate(
         if buf:
             flush()
     else:
-        infer = build_inference_fn(cfg, model)
+        infer = build_inference_fn(cfg, model, act_scales=act_scales)
         n = 0
         for rec, canvas, (newh, neww), scale in eval_loader(records, cfg, canvas_hw):
             t0 = time.perf_counter()

@@ -35,6 +35,25 @@ def _variables(params, batch_stats):
     return {"params": params}
 
 
+def _freeze_scales(cfg: Config, act_scales):
+    """Normalize the calibrated-scale dict for lru_cache keys (hashable,
+    order-independent) and validate it against cfg.quantize."""
+    if getattr(cfg, "quantize", "none") == "int8_static" and not act_scales:
+        raise ValueError(
+            "quantize='int8_static' needs calibrated activation scales: pass "
+            "act_scales=pipelines.quant_calib.calibrate_act_scales(...)"
+        )
+    if act_scales is None:
+        return None
+    return tuple(sorted(act_scales.items()))
+
+
+def _scales_ctx(frozen_scales):
+    from ..ops.quant import static_act_scales
+
+    return static_act_scales(dict(frozen_scales) if frozen_scales else None)
+
+
 def query_path_single(
     model: CenterNet2Detector,
     params,
@@ -196,40 +215,60 @@ def query_path_multiclass(
     )
 
 
-def build_multiclass_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+def build_multiclass_inference_fn(
+    cfg: Config,
+    model: CenterNet2Detector | None = None,
+    act_scales=None,
+):
     model = model or make_detector(cfg)
+    frozen = _freeze_scales(cfg, act_scales)
 
     @jax.jit
     def fn(params, mcache, image, image_hw, batch_stats=None):
-        return query_path_multiclass(
-            model, params, mcache, image, image_hw, cfg, batch_stats
-        )
+        with _scales_ctx(frozen):
+            return query_path_multiclass(
+                model, params, mcache, image, image_hw, cfg, batch_stats
+            )
 
     return fn
 
 
-def build_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+def build_inference_fn(
+    cfg: Config,
+    model: CenterNet2Detector | None = None,
+    act_scales=None,
+):
     """jit-compiled (params, cache, image, image_hw[, batch_stats]) →
     Detections (batch_stats only for dla.norm="BN" models).
+
+    act_scales: calibrated static int8 activation scales
+    (pipelines.quant_calib) — required when cfg.quantize == "int8_static".
 
     Memoized on (cfg, model): repeat builders (periodic in-training eval,
     per-budget loops) must reuse one jit cache — a fresh closure per call
     forces a full retrace+recompile (minutes through the axon relay)."""
-    return _build_inference_cached(cfg, model or make_detector(cfg))
+    return _build_inference_cached(
+        cfg, model or make_detector(cfg), _freeze_scales(cfg, act_scales)
+    )
 
 
 @functools.lru_cache(maxsize=16)
-def _build_inference_cached(cfg: Config, model: CenterNet2Detector):
+def _build_inference_cached(cfg: Config, model: CenterNet2Detector, frozen_scales=None):
     @jax.jit
     def fn(params, cache, image, image_hw, batch_stats=None):
-        return query_path_single(
-            model, params, cache, image, image_hw, cfg, batch_stats
-        )
+        with _scales_ctx(frozen_scales):
+            return query_path_single(
+                model, params, cache, image, image_hw, cfg, batch_stats
+            )
 
     return fn
 
 
-def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = None):
+def build_batched_inference_fn(
+    cfg: Config,
+    model: CenterNet2Detector | None = None,
+    act_scales=None,
+):
     """jit-compiled (params, cache, images [B,Hc,Wc,3], image_hw [B,2]) →
     batched Detections — the serving path (vmapped masked NMS, no host loop).
 
@@ -240,11 +279,13 @@ def build_batched_inference_fn(cfg: Config, model: CenterNet2Detector | None = N
     train_step.prepare_batch.
 
     Memoized on (cfg, model) — see build_inference_fn."""
-    return _build_batched_cached(cfg, model or make_detector(cfg))
+    return _build_batched_cached(
+        cfg, model or make_detector(cfg), _freeze_scales(cfg, act_scales)
+    )
 
 
 @functools.lru_cache(maxsize=16)
-def _build_batched_cached(cfg: Config, model: CenterNet2Detector):
+def _build_batched_cached(cfg: Config, model: CenterNet2Detector, frozen_scales=None):
     @jax.jit
     def fn(params, cache, images, image_hw, batch_stats=None):
         if images.dtype == jnp.uint8:
@@ -255,11 +296,12 @@ def _build_batched_cached(cfg: Config, model: CenterNet2Detector):
             row_ok = jnp.arange(hc)[None, :] < image_hw[:, 0, None]
             col_ok = jnp.arange(wc)[None, :] < image_hw[:, 1, None]
             images = x * (row_ok[:, :, None] & col_ok[:, None, :])[..., None]
-        return jax.vmap(
-            lambda img, hw: query_path_single(
-                model, params, cache, img, hw, cfg, batch_stats
-            )
-        )(images, image_hw)
+        with _scales_ctx(frozen_scales):
+            return jax.vmap(
+                lambda img, hw: query_path_single(
+                    model, params, cache, img, hw, cfg, batch_stats
+                )
+            )(images, image_hw)
 
     return fn
 
@@ -268,6 +310,7 @@ def build_serving_fn(
     cfg: Config,
     input_hw: Tuple[int, int],
     model: CenterNet2Detector | None = None,
+    act_scales=None,
 ):
     """End-to-end serving program: RAW images → detections in original coords.
 
@@ -284,6 +327,7 @@ def build_serving_fn(
     from .preprocess import preprocess_device, resize_shortest_edge_size
 
     model = model or make_detector(cfg)
+    frozen_scales = _freeze_scales(cfg, act_scales)
     h0, w0 = input_hw
     rh, rw = resize_shortest_edge_size(
         h0, w0, cfg.input.min_size_test, cfg.input.max_size_test
@@ -302,7 +346,8 @@ def build_serving_fn(
             det = query_path_single(model, params, cache, canvas, hw, cfg, batch_stats)
             return det._replace(boxes=det.boxes * scale_vec)
 
-        return jax.vmap(one)(raw_images)
+        with _scales_ctx(frozen_scales):
+            return jax.vmap(one)(raw_images)
 
     return fn, canvas_hw
 

@@ -155,10 +155,14 @@ def random_serving_batch(batch, canvas=SERVING_CANVAS, seed=0):
 
 
 def chained_serving_fps(model, cfg, params, cache, images, hws, rtt,
-                        reps=10, timed_runs=3, label=""):
+                        reps=10, timed_runs=3, label="", act_scales=None):
     """Pure-compute img/s: `reps` chained full query paths in ONE program
     (data dependency between reps defeats dead-code elimination), best of
-    `timed_runs` host-readback timings, RTT subtracted."""
+    `timed_runs` host-readback timings, RTT subtracted.
+
+    act_scales: static int8 activation scales (pipelines.quant_calib) for
+    cfg.quantize == "int8_static" programs."""
+    from faster_orefsdet_tpu.ops.quant import static_act_scales
     from faster_orefsdet_tpu.pipelines.inference import query_path_single
 
     batch = images.shape[0]
@@ -173,7 +177,8 @@ def chained_serving_fps(model, cfg, params, cache, images, hws, rtt,
             )(images, hws)
             return jnp.sum(det.scores) * 1e-12
 
-        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, images.dtype))
+        with static_act_scales(act_scales):
+            return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, images.dtype))
 
     t0 = time.perf_counter()
     float(chained(params, cache, images, hws))  # compile
