@@ -177,12 +177,17 @@ class SolverConfig:
     steps: Tuple[int, ...] = (10000, 11000)
     gamma: float = 0.1
     max_iter: int = 12000
+    # "WarmupMultiStepLR" (live path) | "WarmupCosineLR"
+    # (fewx/solver/build.py:142-167)
+    lr_scheduler_name: str = "WarmupMultiStepLR"
     warmup_iters: int = 500
     warmup_factor: float = 0.00025
+    warmup_method: str = "linear"  # "linear" | "constant" (lr_scheduler.py:212-238)
     checkpoint_period: int = 100
     clip_gradients: bool = True
-    clip_type: str = "value"  # d2 default CLIP_TYPE "value"
+    clip_type: str = "value"  # "value" (d2 default) | "norm" (build.py:14-36)
     clip_value: float = 1.0
+    norm_type: float = 2.0  # p-norm for clip_type="norm" (build.py:26-27)
 
 
 @dataclass(frozen=True)

@@ -124,12 +124,15 @@ KEY_MAP: Dict[str, str] = {
     "SOLVER.STEPS": "solver.steps",
     "SOLVER.GAMMA": "solver.gamma",
     "SOLVER.MAX_ITER": "solver.max_iter",
+    "SOLVER.LR_SCHEDULER_NAME": "solver.lr_scheduler_name",
     "SOLVER.WARMUP_ITERS": "solver.warmup_iters",
     "SOLVER.WARMUP_FACTOR": "solver.warmup_factor",
+    "SOLVER.WARMUP_METHOD": "solver.warmup_method",
     "SOLVER.CHECKPOINT_PERIOD": "solver.checkpoint_period",
     "SOLVER.CLIP_GRADIENTS.ENABLED": "solver.clip_gradients",
     "SOLVER.CLIP_GRADIENTS.CLIP_TYPE": "solver.clip_type",
     "SOLVER.CLIP_GRADIENTS.CLIP_VALUE": "solver.clip_value",
+    "SOLVER.CLIP_GRADIENTS.NORM_TYPE": "solver.norm_type",
     "OUTPUT_DIR": "output_dir",
     "SEED": "seed",
     "TEST.EVAL_PERIOD": "eval_period",
