@@ -334,8 +334,12 @@ def serving_vovnet_int8_static() -> Config:
     """serving_vovnet_fast + STATIC-calibrated W8A8 int8 (ops/quant.py +
     pipelines/quant_calib.py): activation scales measured once on a
     calibration batch and baked into the program, removing the dynamic
-    abs-max reduction passes that made the dynamic-int8 preset 35% slower
-    on the HBM-bandwidth-bound serving path (RESULTS.md round-3/4 A/B).
+    abs-max reduction passes that made the dynamic-int8 preset 35% slower.
+    Measured (RESULTS.md round-4 A/B): AP-neutral and recovers the whole
+    dynamic penalty (2,372 → 3,674 img/s at batch 128) but only TIES the
+    bf16 fast preset (+1%, within session noise) — the fast preset is
+    occupancy-bound, not byte-bound, at this model size. Serve bf16 for
+    speed; this preset exists for memory-constrained deployments.
     Builders require act_scales= (calibrate_act_scales)."""
     return serving_vovnet_fast().replace(quantize="int8_static")
 
