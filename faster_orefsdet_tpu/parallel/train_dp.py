@@ -44,24 +44,29 @@ def build_dp_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     axis_name: str = "data",
+    deterministic: bool = False,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     state: replicated; batch: leading dim divisible by mesh size; rng: a
-    PRNGKey (replicated — each replica folds in its axis index)."""
+    PRNGKey (replicated). Per-replica decorrelation happens INSIDE loss_fn:
+    dropout keys fold in the axis index, ROI-sampling keys fold in the
+    global example index — so the DP run draws the same proposal subsamples
+    as a single-device run over the same global batch (the trajectory-
+    equality contract, tests/test_parallel_dp.py)."""
 
     def per_replica(state: TrainState, batch: TrainBatch, rng: jax.Array):
-        rep = jax.lax.axis_index(axis_name)
-        rng = jax.random.fold_in(rng, rep)
         if state.batch_stats is None:
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, model, cfg, rng, axis_name
+                state.params, batch, model, cfg, rng, axis_name,
+                deterministic=deterministic,
             )
             new_stats = None
         else:
             (total, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
+            )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats,
+              deterministic=deterministic)
             # keep the replicated state consistent: average the per-replica BN
             # stat updates (cross-replica stat averaging — the yaml's multi-card
             # variant uses SyncBN, finetune_dla.yaml DLA.NORM comment)

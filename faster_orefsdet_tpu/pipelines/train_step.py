@@ -120,6 +120,18 @@ def loss_fn(
     strides = cfg.centernet.fpn_strides
     levels = ("p3", "p4", "p5")
     drop_rng, sample_rng = jax.random.split(rng)
+    if axis_name is not None:
+        # DP rng contract: dropout decorrelates per replica, while ROI-
+        # sampling keys are derived from the GLOBAL example index below —
+        # so an N-device DP run draws the same proposal subsamples as a
+        # single-device run over the same global batch (trajectory test,
+        # tests/test_parallel_dp.py). The reference's DDP has no such
+        # contract (each rank owns an independent torch RNG stream).
+        rep = jax.lax.axis_index(axis_name)
+        drop_rng = jax.random.fold_in(drop_rng, rep)
+        ex_base = rep * b
+    else:
+        ex_base = 0
 
     # ---- query + support feature extraction (fsod_cen.py:165,177-178)
     sup_flat = batch.support_images.reshape(b * s, *batch.support_images.shape[2:])
@@ -274,8 +286,11 @@ def loss_fn(
     else:
         roi_boxes, roi_valid = injected_rois
 
-    # ---- ROI sampling + DSA cascade stage losses
-    sample_rngs = jax.random.split(sample_rng, b)
+    # ---- ROI sampling + DSA cascade stage losses (keys by global example
+    # index — identical draws under DP and single-device, see ex_base above)
+    sample_rngs = jax.vmap(lambda i: jax.random.fold_in(sample_rng, i))(
+        ex_base + jnp.arange(b)
+    )
 
     def roi_one(rng_i, prop_boxes, prop_valid, gtb, gtc, gtv, f3, f4, f5, s8, s4):
         gt = GroundTruth(boxes=gtb, classes=gtc, valid=gtv)
@@ -325,16 +340,19 @@ def loss_fn(
     return total, losses
 
 
-def _train_step_impl(state, batch, rng, model, cfg, tx, axis_name):
+def _train_step_impl(state, batch, rng, model, cfg, tx, axis_name,
+                     deterministic=False):
     if state.batch_stats is None:
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, model, cfg, rng, axis_name
+            state.params, batch, model, cfg, rng, axis_name,
+            deterministic=deterministic,
         )
         new_stats = None
     else:
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats)
+        )(state.params, batch, model, cfg, rng, axis_name, state.batch_stats,
+          deterministic=deterministic)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = {"total_loss": total, **losses}
@@ -360,16 +378,19 @@ def build_train_step(
     model: CenterNet2Detector,
     tx: optax.GradientTransformation,
     axis_name: str | None = None,
+    deterministic: bool = False,
 ):
     """jit-compiled (state, batch, rng) -> (state, metrics).
 
     Works for both stateless states (batch_stats=None) and BN states — the
-    branch resolves at trace time on the state's pytree structure."""
+    branch resolves at trace time on the state's pytree structure.
+    deterministic=True disables SM-block dropout (DP trajectory test)."""
     _check_trainable(cfg)
 
     @jax.jit
     def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
-        return _train_step_impl(state, batch, rng, model, cfg, tx, axis_name)
+        return _train_step_impl(state, batch, rng, model, cfg, tx, axis_name,
+                                deterministic)
 
     return train_step
 
