@@ -28,9 +28,26 @@ from .coco import ImageRecord
 from .mapper import EpisodicMapper, MappedExample
 
 
+def _device_memo(examples, key_attr, val_attr, cache: dict, cache_max: int):
+    """Gather per-example arrays through a bounded {key: device_array} memo
+    (FIFO eviction); returns the stacked device batch."""
+    arrs = []
+    for e in examples:
+        key = getattr(e, key_attr)
+        arr = cache.get(key)
+        if arr is None:
+            if len(cache) >= cache_max:
+                cache.pop(next(iter(cache)))
+            arr = jnp.asarray(getattr(e, val_attr))
+            cache[key] = arr
+        arrs.append(arr)
+    return jnp.stack(arrs) if len(arrs) > 1 else arrs[0][None]
+
+
 def collate(
     examples: Sequence[MappedExample], device_sup_cache: Optional[dict] = None,
-    device_sup_cache_max: int = 256,
+    device_sup_cache_max: int = 256, device_img_cache: Optional[dict] = None,
+    device_img_cache_max: int = 256,
 ) -> TrainBatch:
     """Stack examples into a fixed-shape TrainBatch (raw uint8 images —
     normalization runs inside the jitted step, train_step.prepare_batch).
@@ -39,24 +56,30 @@ def collate(
     stacks are deterministic per record (mapper seeding), so recurring
     epochs re-upload the same ~1 MB stack every step; keeping them resident
     on device turns that into a device-side stack (no host->device bytes —
-    the dominant per-step transfer on a relayed TPU link)."""
+    the dominant per-step transfer on a relayed TPU link).
+    device_img_cache: the same memo for query canvases, keyed by the
+    mapper's (file, scale, flip) image_key — at B=8 the 8 canvas uploads
+    per step were the remaining transfer cost."""
     if device_sup_cache is not None and all(
         e.support_key is not None for e in examples
     ):
-        sups = []
-        for e in examples:
-            arr = device_sup_cache.get(e.support_key)
-            if arr is None:
-                if len(device_sup_cache) >= device_sup_cache_max:
-                    device_sup_cache.pop(next(iter(device_sup_cache)))
-                arr = jnp.asarray(e.support_images)
-                device_sup_cache[e.support_key] = arr
-            sups.append(arr)
-        support_images = jnp.stack(sups) if len(sups) > 1 else sups[0][None]
+        support_images = _device_memo(
+            examples, "support_key", "support_images",
+            device_sup_cache, device_sup_cache_max,
+        )
     else:
         support_images = jnp.asarray(np.stack([e.support_images for e in examples]))
+    if device_img_cache is not None and all(
+        e.image_key is not None for e in examples
+    ):
+        images = _device_memo(
+            examples, "image_key", "image",
+            device_img_cache, device_img_cache_max,
+        )
+    else:
+        images = jnp.asarray(np.stack([e.image for e in examples]))
     return TrainBatch(
-        images=jnp.asarray(np.stack([e.image for e in examples])),
+        images=images,
         image_hw=jnp.asarray(
             np.asarray([e.image_hw for e in examples], np.float32)
         ),
@@ -73,7 +96,7 @@ def train_loader(
     mapper: EpisodicMapper,
     batch_size: int,
     seed: int = 0,
-    prefetch: int = 2,
+    prefetch: int = 4,
 ) -> Iterator[TrainBatch]:
     """Infinite shuffled episodic stream with background prefetch.
 
@@ -83,6 +106,7 @@ def train_loader(
     can't share a batch tensor)."""
     rng = np.random.default_rng(seed)
     dev_sup: dict = {}
+    dev_img: dict = {}
 
     def produce(q: Queue):
         buckets = {}
@@ -93,7 +117,8 @@ def train_loader(
                 key = ex.image.shape[:2]
                 buckets.setdefault(key, []).append(ex)
                 if len(buckets[key]) == batch_size:
-                    q.put(collate(buckets.pop(key), device_sup_cache=dev_sup))
+                    q.put(collate(buckets.pop(key), device_sup_cache=dev_sup,
+                                  device_img_cache=dev_img))
 
     q: Queue = Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)

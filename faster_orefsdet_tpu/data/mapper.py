@@ -134,6 +134,11 @@ class MappedExample:
     # stable identity of the (deterministic) support stack — lets the loader
     # keep recurring stacks resident on device instead of re-uploading
     support_key: Optional[Tuple[int, int]] = None
+    # stable identity of the query canvas: (file, chosen scale, flip). The
+    # canvas is a pure function of that key, so recurring epochs can reuse
+    # both the host render (mapper._canvas_cache) and a device-resident copy
+    # (loader.collate device_img_cache)
+    image_key: Optional[Tuple] = None
 
 
 class EpisodicMapper:
@@ -147,6 +152,12 @@ class EpisodicMapper:
         # deterministic: sampling is seeded by the query's annotation id)
         self._img_cache = _ByteBudgetCache(cache_bytes)
         self._sup_cache = _ByteBudgetCache(cache_bytes // 2)
+        # rendered episode canvases keyed (file, scale, flip): a dataset of
+        # N images x |min_size_train| scales x 2 flips has a small finite
+        # canvas set, and re-rendering it every epoch was the B=8 wall-clock
+        # bottleneck on the 1-core host (the job the reference gives its
+        # 8 dataloader workers, Base-FSOD-C4.yaml:20)
+        self._canvas_cache = _ByteBudgetCache(cache_bytes // 2)
         inp = cfg.input
         if canvas_hw is None:
             # worst-case canvas from the config: short side up to
@@ -189,23 +200,31 @@ class EpisodicMapper:
             short = cfg.input.min_size_test
         max_size = cfg.input.max_size_train if self.is_train else cfg.input.max_size_test
         newh, neww = resize_shortest_edge_size(h, w, short, max_size)
-        resized = resize_image_host(img, newh, neww)
 
         boxes = np.asarray([a.bbox for a in record.annotations], np.float32).reshape(-1, 4)
         boxes = boxes * np.asarray([neww / w, newh / h, neww / w, newh / h], np.float32)
 
         flip = self.is_train and cfg.input.random_flip and rng.uniform() < 0.5
         if flip:
-            resized = resized[:, ::-1]
             x1 = neww - boxes[:, 2]
             x2 = neww - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
 
-        # orient the canvas to the image (landscape vs portrait); the loader
-        # groups batches by canvas shape (aspect-ratio grouping)
-        ch, cw = self.canvas_hw
-        canvas_hw = (ch, cw) if neww >= newh else (cw, ch)
-        canvas = pad_to_canvas(np.ascontiguousarray(resized, np.uint8), canvas_hw)
+        # the rendered canvas is a pure function of (file, scale, flip) —
+        # reuse it across epochs; only the (cheap) box transform above runs
+        # per record (records split per (image, class) share a file)
+        image_key = (record.file_name, short, flip)
+        canvas = self._canvas_cache.get(image_key)
+        if canvas is None:
+            resized = resize_image_host(img, newh, neww)
+            if flip:
+                resized = resized[:, ::-1]
+            # orient the canvas to the image (landscape vs portrait); the
+            # loader groups batches by canvas shape (aspect-ratio grouping)
+            ch, cw = self.canvas_hw
+            canvas_hw = (ch, cw) if neww >= newh else (cw, ch)
+            canvas = pad_to_canvas(np.ascontiguousarray(resized, np.uint8), canvas_hw)
+            self._canvas_cache.put(image_key, canvas)
 
         n_max = cfg.static.max_gt_per_image
         gt_boxes = np.zeros((n_max, 4), np.float32)
@@ -257,4 +276,5 @@ class EpisodicMapper:
             support_boxes=sup_boxes,
             support_classes=sup_classes,
             support_key=sup_key,
+            image_key=image_key,
         )
