@@ -230,6 +230,12 @@ class Config:
     # Plumbed for the vovnet_fpn family's dense convs (backbone + FPN);
     # params stay f32 so checkpoints are unchanged.
     quantize: str = "none"
+    # Serve the CGM correlation + conv3 projection through the fused Pallas
+    # VMEM kernel (ops/pallas_cgm.py) instead of the XLA composition — the
+    # stencil chain, residual and 2C->C projection run in one kernel with a
+    # single HBM read/write per level. A/B'd per model size (RESULTS.md);
+    # levels too large for VMEM fall back to XLA automatically.
+    use_pallas_cgm: bool = False
     vovnet: VoVNetConfig = field(default_factory=VoVNetConfig)
     dla: DLAConfig = field(default_factory=DLAConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)

