@@ -50,6 +50,13 @@ def parse_args():
         "(parallel.serve_dp data-parallel serving; frame-batch must be "
         "divisible by it)",
     )
+    p.add_argument(
+        "--parallel", action="store_true",
+        help="AsyncPredictor pipelined inference for globs and per-frame "
+        "video (--frame-batch 1): bounded in-flight dispatches on a pinned-"
+        "weights program + overlapped result readbacks (the reference "
+        "demo's parallel=True AsyncPredictor, predictor.py:150-238)",
+    )
     p.add_argument("--output", default="results")
     p.add_argument("--params", help=".npz params (random init if omitted)")
     p.add_argument("--support-index", required=True)
@@ -219,6 +226,41 @@ def main():
             writer.release()
             print(f"{n} frames -> {out_path} ({n / max(t_total, 1e-9):.1f} fps)")
             return
+        if args.parallel:
+            # per-frame AsyncPredictor pipeline: preprocessing thread +
+            # in-flight dispatches + overlapped readbacks; frames yield in
+            # order so the writer stays sequential
+            from ..pipelines.async_predictor import AsyncPredictor
+
+            def frames_iter():
+                k = 0
+                while True:
+                    ok, frame = cap.read()
+                    if not ok or (args.max_frames and k >= args.max_frames):
+                        break
+                    pending.append(frame)
+                    k += 1
+                    yield frame
+
+            pending = []
+            pred = AsyncPredictor(cfg, params, cache, model, depth=8,
+                                  readback_workers=8)
+            t0 = time.perf_counter()
+            for out in pred.run(frames_iter()):
+                frame = pending.pop(0)
+                writer.write(draw_detections(
+                    frame, out["boxes"], out["scores"], args.confidence))
+                n += 1
+                if n % 25 == 0:
+                    print(f"frame {n}: {len(out['scores'])} dets, "
+                          f"{n / max(time.perf_counter() - t0, 1e-9):.1f} fps "
+                          "(incl. first compile)")
+            t_total = time.perf_counter() - t0
+            cap.release()
+            writer.release()
+            print(f"{n} frames -> {out_path} ({n / max(t_total, 1e-9):.1f} fps, "
+                  "AsyncPredictor)")
+            return
         while True:
             ok, frame = cap.read()
             if not ok or (args.max_frames and n >= args.max_frames):
@@ -238,6 +280,35 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
     paths = sorted(glob.glob(args.input)) or [args.input]
+    if args.parallel:
+        from ..pipelines.async_predictor import AsyncPredictor
+
+        if args.debug:
+            raise SystemExit("--debug needs the sequential path; drop --parallel")
+        imgs, kept = [], []
+        for path in paths:
+            img = cv2.imread(path)
+            if img is None:
+                print(f"skip unreadable {path}")
+                continue
+            imgs.append(img)
+            kept.append(path)
+        pred = AsyncPredictor(cfg, params, cache, model, depth=8,
+                              readback_workers=8)
+        t0 = time.perf_counter()
+        for path, img, out in zip(kept, imgs, pred.run(imgs)):
+            n_vis = int((out["scores"] >= args.confidence).sum())
+            print(f"{path}: {len(out['scores'])} detections "
+                  f"({n_vis} ≥ {args.confidence})")
+            cv2.imwrite(
+                os.path.join(args.output, os.path.basename(path)),
+                draw_detections(img, out["boxes"], out["scores"], args.confidence),
+            )
+        wall = time.perf_counter() - t0
+        print(f"{len(kept)} images in {wall:.2f}s "
+              f"({len(kept) / max(wall, 1e-9):.1f} img/s, AsyncPredictor "
+              "incl. first compile)")
+        return
     for path in paths:
         img = cv2.imread(path)
         if img is None:

@@ -264,6 +264,68 @@ def _build_inference_cached(cfg: Config, model: CenterNet2Detector, frozen_scale
     return fn
 
 
+def pack_detections(det: Detections) -> jnp.ndarray:
+    """Detections → one [K, 6] f32 array (x1,y1,x2,y2,score,valid).
+
+    A multi-leaf result costs one host round-trip PER LEAF to fetch through
+    the relay; packing makes a served result exactly one readback."""
+    return jnp.concatenate(
+        [
+            det.boxes.astype(jnp.float32),
+            det.scores.astype(jnp.float32)[..., None],
+            det.valid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def unpack_detections_np(packed) -> dict:
+    """Host-side inverse of pack_detections (numpy in, numpy dict out)."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    valid = arr[..., 5] > 0.5
+    return {"boxes": arr[..., :4], "scores": arr[..., 4], "valid": valid}
+
+
+def build_pinned_inference_fn(
+    cfg: Config,
+    params,
+    cache: SupportCache,
+    model: CenterNet2Detector | None = None,
+    act_scales=None,
+    batch_stats=None,
+    packed: bool = False,
+):
+    """jit-compiled (image, image_hw) → Detections with params/cache CLOSED
+    OVER (captured as program constants) instead of passed per call.
+
+    The sustained single-stream dispatch loop pays a per-dispatch host cost
+    that scales with the argument pytree (~170 param leaves flattened +
+    shipped as buffer references through the relay RPC on every call); that
+    overhead is what kept the round-3 dispatch loop at ~2/3 of pure compute.
+    Pinning the weights reduces per-call traffic to the two image tensors.
+    Use for sustained serving on fixed weights (the DefaultPredictor
+    deployment shape, detectron2.7z!engine/defaults.py:255-322); rebuild
+    after any param update.
+
+    packed=True returns pack_detections(det) ([K,6] f32) instead of the
+    Detections pytree — one readback per served result.
+    """
+    model = model or make_detector(cfg)
+    frozen_scales = _freeze_scales(cfg, act_scales)
+
+    @jax.jit
+    def fn(image, image_hw):
+        with _scales_ctx(frozen_scales):
+            det = query_path_single(
+                model, params, cache, image, image_hw, cfg, batch_stats
+            )
+        return pack_detections(det) if packed else det
+
+    return fn
+
+
 def build_batched_inference_fn(
     cfg: Config,
     model: CenterNet2Detector | None = None,

@@ -129,6 +129,58 @@ def test_async_predictor_order_and_results():
         assert o["boxes"].shape[1] == 4
         assert np.isfinite(o["boxes"]).all()
 
+    # pooled-readback path: same results, same order (results are fetched on
+    # worker threads but yielded in dispatch order)
+    pred2 = AsyncPredictor(cfg, params, cache, model, depth=3,
+                           canvas_hw=(96, 128), readback_workers=4)
+    outs2 = list(pred2.run(imgs))
+    assert len(outs2) == 5
+    for a, b in zip(outs, outs2):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-5, atol=1e-5)
+
+
+def test_pinned_inference_matches_unpinned():
+    """build_pinned_inference_fn (weights as compile-time captures) must be
+    numerically identical to the arg-passing builder."""
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import (
+        build_inference_fn,
+        build_pinned_inference_fn,
+        make_detector,
+    )
+    from faster_orefsdet_tpu.pipelines.support_cache import SupportCache
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet")
+    cfg = cfg.replace(
+        centernet=dataclasses.replace(
+            cfg.centernet, pre_nms_topk_test=128, post_nms_topk_test=32
+        ),
+        roi=dataclasses.replace(cfg.roi, detections_per_image=10),
+        input=dataclasses.replace(cfg.input, min_size_test=96, max_size_test=128),
+    )
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    c = cfg.fpn.out_channels
+    rng = np.random.default_rng(1)
+    cache = SupportCache(
+        p3=jnp.asarray(rng.standard_normal((32, 32, c), dtype=np.float32)),
+        p4=jnp.asarray(rng.standard_normal((16, 16, c), dtype=np.float32)),
+        p5=jnp.asarray(rng.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_8=jnp.asarray(rng.standard_normal((8, 8, c), dtype=np.float32)),
+        rcnn_4=jnp.asarray(rng.standard_normal((4, 4, c), dtype=np.float32)),
+    )
+    image = jnp.asarray(rng.standard_normal((96, 128, 3), dtype=np.float32))
+    hw = jnp.asarray([96.0, 120.0])
+    a = build_inference_fn(cfg, model)(params, cache, image, hw)
+    b = build_pinned_inference_fn(cfg, params, cache, model=model)(image, hw)
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
 
 def test_profiling_cost_analysis():
     from faster_orefsdet_tpu.utils.profiling import cost_analysis, device_memory
