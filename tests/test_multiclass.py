@@ -77,6 +77,42 @@ def test_multiclass_single_class_consistency(setup):
     )
 
 
+@pytest.mark.slow
+def test_multiclass_composed_full_budgets():
+    """Single-class consistency at the PUBLISHED budgets (pre_nms 1000,
+    post_nms 256, 100 detections, 320-short-side canvas) — the composed
+    multiclass parity case: with one class the multiclass program must
+    reproduce the parity-tested single-class program detection-for-detection
+    at real K. Also pins the 3-class Pallas-NMS gate: 3*256 = 768 is inside
+    ops.pallas_nms.supported(), so the fast multiclass path keeps the VMEM
+    kernel rather than silently falling back (reference per-class loop:
+    fsod_cen.py:454-509)."""
+    from faster_orefsdet_tpu.ops.pallas_nms import supported
+
+    cfg = get_config("finetune_vovnet")
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    cache = _cache(11)
+    mcache = stack_support_caches([cache])
+    img = jnp.asarray(
+        np.random.default_rng(12).standard_normal((320, 448, 3), dtype=np.float32)
+    )
+    hw = jnp.asarray([320.0, 427.0])
+    a = query_path_single(model, params, cache, img, hw, cfg)
+    b = query_path_multiclass(model, params, mcache, img, hw, cfg)
+    av, bv = np.asarray(a.valid), np.asarray(b.valid)
+    assert av.sum() == bv.sum() and av.sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(a.boxes)[av], np.asarray(b.boxes)[bv], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.scores)[av], np.asarray(b.scores)[bv], rtol=1e-4, atol=1e-5
+    )
+    # the published-budget multiclass NMS sizes stay on the Pallas kernel
+    assert supported(1 * cfg.centernet.post_nms_topk_test)
+    assert supported(3 * cfg.centernet.post_nms_topk_test)
+
+
 def test_serving_fn_raw_to_boxes(setup):
     """End-to-end serving program: raw uint8 frames → original-frame boxes."""
     from faster_orefsdet_tpu.pipelines.inference import build_serving_fn
