@@ -305,7 +305,12 @@ def serving_vovnet() -> Config:
     """TPU serving preset: the published finetune_vovnet model with the
     serving knobs on — bf16 compute + Pallas VMEM NMS (no reference analog;
     numerics equivalence-tested, RESULTS.md round-2 tables)."""
-    cfg = finetune_vovnet_25shot().replace(compute_dtype="bfloat16")
+    cfg = finetune_vovnet_25shot().replace(
+        compute_dtype="bfloat16",
+        # fused VMEM CGM: +1.9% (parity budgets) / +2.8% (fast preset) at
+        # batch 128, 100% box agreement (tools/cgm_ab.py, RESULTS.md r4)
+        use_pallas_cgm=True,
+    )
     return cfg.replace(
         centernet=dataclasses.replace(cfg.centernet, use_pallas_nms=True),
         roi=dataclasses.replace(cfg.roi, use_pallas_nms=True),

@@ -18,12 +18,17 @@ For inputs whose working set would exceed VMEM (HWC f32 > ~3 MB) callers
 should fall back to ops.correlation.cgm_correlate + Dense (the XLA path);
 `cgm_fused_or_fallback` does this automatically.
 
-Measured on TPU v5e at the P3 eval size (40x56x128): 620us/dispatch vs the
-XLA composition's 582us — both dispatch-overhead-dominated at this
-granularity (the full query path runs the same math inside one program at
-~zero marginal cost), so the default inference path keeps the XLA
-composition and this kernel remains the building block for fused serving
-variants.
+Measured on TPU v5e:
+  - standalone dispatch at the P3 eval size (40x56x128): 620us vs the XLA
+    composition's 582us — dispatch-overhead-dominated, a tie (round 2);
+  - INSIDE the live batched serving program (round 4, tools/cgm_ab.py,
+    batch 128 chained pure compute): 2,063 -> 2,102 img/s (+1.9%) at the
+    parity budgets and 3,610 -> 3,712 img/s (+2.8%) on the fast preset,
+    with 100% detection-set agreement — the concat's HBM round-trip is
+    real, and eliminating it wins once the kernel amortizes inside one
+    program. `cfg.use_pallas_cgm` (on in the serving presets) wires it
+    into `models/detector.correlate`; training and parity configs keep
+    the XLA composition.
 """
 
 from __future__ import annotations

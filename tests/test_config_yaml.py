@@ -77,15 +77,16 @@ def test_yacs_tuple_strings_parse():
 
 
 def test_serving_preset():
-    """serving_vovnet = finetune_vovnet + bf16 + Pallas NMS, nothing else."""
+    """serving_vovnet = finetune_vovnet + bf16 + Pallas NMS/CGM, nothing else."""
     from faster_orefsdet_tpu.config import get_config
 
     base = get_config("finetune_vovnet")
     srv = get_config("serving_vovnet")
     assert srv.compute_dtype == "bfloat16"
     assert srv.centernet.use_pallas_nms and srv.roi.use_pallas_nms
+    assert srv.use_pallas_cgm
     # only the serving knobs differ
-    norm = srv.replace(compute_dtype=base.compute_dtype)
+    norm = srv.replace(compute_dtype=base.compute_dtype, use_pallas_cgm=False)
     import dataclasses
 
     norm = norm.replace(

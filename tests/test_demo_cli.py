@@ -207,3 +207,33 @@ def test_demo_cli_dp_indivisible_frame_batch_rejected(monkeypatch, tmp_path):
 
     with pytest.raises(SystemExit, match="not divisible"):
         main()
+
+
+def test_demo_cli_parallel_glob(tmp_path, monkeypatch):
+    """--parallel glob path (reference demo.py parallel=True -> AsyncPredictor,
+    predictor.py:150-238): pipelined results match the sequential path's
+    rendered outputs count and write every image."""
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    records, entries = make_synthetic_setup(str(tmp_path / "data"), num_images=3,
+                                            seed=0, crop_size=96)
+    idx = str(tmp_path / "support_index.json")
+    save_support_index(idx, entries)
+    out = str(tmp_path / "out")
+    img_glob = os.path.join(os.path.dirname(records[0].file_name), "*.jpg")
+
+    argv = [
+        "demo", "--input", img_glob, "--output", out,
+        "--support-index", idx, "--confidence", "0.0", "--parallel",
+        "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
+        "roi.detections_per_image=8",
+        "input.min_size_test=96", "input.max_size_test=160",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    main()
+    rendered = glob.glob(os.path.join(out, "*.jpg"))
+    assert len(rendered) == 3, rendered
