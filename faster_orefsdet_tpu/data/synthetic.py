@@ -24,6 +24,8 @@ def generate_ore_dataset(
     image_hw: Tuple[int, int] = (240, 320),
     max_blobs: int = 6,
     seed: int = 0,
+    min_blobs: int = 1,
+    blob_size: Tuple[float, float] = (28.0, 90.0),
 ) -> Tuple[str, str]:
     """Write images + a COCO instances json. Returns (json_path, image_root)."""
     import cv2
@@ -39,10 +41,10 @@ def generate_ore_dataset(
         base = rng.normal(110, 12, (h // 8, w // 8, 3)).astype(np.float32)
         img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
         img += rng.normal(0, 6, img.shape)
-        n = int(rng.integers(1, max_blobs + 1))
+        n = int(rng.integers(min_blobs, max_blobs + 1))
         for _ in range(n):
-            bw = float(rng.uniform(28, 90))
-            bh = float(rng.uniform(28, 90))
+            bw = float(rng.uniform(*blob_size))
+            bh = float(rng.uniform(*blob_size))
             cx = float(rng.uniform(bw / 2 + 2, w - bw / 2 - 2))
             cy = float(rng.uniform(bh / 2 + 2, h - bh / 2 - 2))
             shade = float(rng.uniform(35, 75))
@@ -86,9 +88,14 @@ def generate_ore_dataset(
 
 
 def make_synthetic_setup(out_dir: str, num_images: int = 12, seed: int = 0,
-                         crop_size: int = 240):
-    """Generate a dataset + support crops; returns (records, support_entries)."""
-    json_path, img_root = generate_ore_dataset(out_dir, num_images=num_images, seed=seed)
+                         crop_size: int = 240, **gen_kwargs):
+    """Generate a dataset + support crops; returns (records, support_entries).
+
+    gen_kwargs forward to generate_ore_dataset (e.g. the dense-small regime
+    min_blobs=8, max_blobs=16, blob_size=(14, 40) used by the round-4
+    budget-ablation variance study)."""
+    json_path, img_root = generate_ore_dataset(out_dir, num_images=num_images,
+                                               seed=seed, **gen_kwargs)
     records = load_coco_json(json_path, img_root)
     entries = build_support_crops(
         records, os.path.join(out_dir, "support"), crop_size=crop_size, seed=seed

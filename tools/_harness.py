@@ -47,7 +47,7 @@ class TrainRun(NamedTuple):
 
 def train_synthetic_fsod(iters=800, n_train=16, b=1, shot=5, scale=320,
                          config="finetune_vovnet", prefix="r3_train_",
-                         log_every=200):
+                         log_every=200, seed=0, data_kwargs=None):
     """Round-2 protocol synthetic training run; returns the trained state.
 
     Losses stay on-device during the loop (one bulk readback at the end) so
@@ -70,19 +70,20 @@ def train_synthetic_fsod(iters=800, n_train=16, b=1, shot=5, scale=320,
         input=dataclasses.replace(cfg.input, min_size_train=(scale,)),
     )
     out = tempfile.mkdtemp(prefix=prefix)
-    records, entries = make_synthetic_setup(out, num_images=n_train, seed=0)
-    print(f"train {len(records)} imgs (B={b})", flush=True)
+    records, entries = make_synthetic_setup(out, num_images=n_train, seed=seed,
+                                            **(data_kwargs or {}))
+    print(f"train {len(records)} imgs (B={b}, seed={seed})", flush=True)
 
     model = make_detector(cfg)
-    params, batch_stats = init_variables(model, cfg, jax.random.PRNGKey(0))
+    params, batch_stats = init_variables(model, cfg, jax.random.PRNGKey(seed))
     tx = build_optimizer(cfg.solver, params)
     step = build_train_step(cfg, model, tx)
     state = TrainState(params, tx.init(params), jnp.asarray(0), batch_stats)
     sampler = SupportSampler(entries)
     mapper = EpisodicMapper(cfg, sampler, is_train=True,
                             canvas_hw=train_canvas(records, cfg))
-    loader = train_loader(records, mapper, b, seed=0)
-    rng = jax.random.PRNGKey(1)
+    loader = train_loader(records, mapper, b, seed=seed)
+    rng = jax.random.PRNGKey(seed + 1)
     losses = []
     tw, last_it = time.time(), 0
     for it in range(iters):
