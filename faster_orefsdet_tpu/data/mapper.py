@@ -224,6 +224,9 @@ class EpisodicMapper:
             ch, cw = self.canvas_hw
             canvas_hw = (ch, cw) if neww >= newh else (cw, ch)
             canvas = pad_to_canvas(np.ascontiguousarray(resized, np.uint8), canvas_hw)
+            # the cached array is SHARED across every example that hits this
+            # key — freeze it so an accidental in-place edit fails loudly
+            canvas.flags.writeable = False
             self._canvas_cache.put(image_key, canvas)
 
         n_max = cfg.static.max_gt_per_image
