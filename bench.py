@@ -29,6 +29,7 @@ baseline, RTT subtracted); fast-preset batch-128 serving 3613-3698 img/s
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -184,31 +185,20 @@ def main():
     # ---- AP-neutral fast preset (post_nms=64, Pallas NMS), batch-128 pure
     # compute — the repo's best sustained serving figure (RESULTS.md budget
     # ablation), emitted by default so the round artifact self-documents it.
+    # Reuses tools/_harness.chained_serving_fps: ONE copy of the chained-
+    # program + RTT-subtraction methodology shared with every tools/ bench.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from _harness import chained_serving_fps
+
     from faster_orefsdet_tpu.config import get_config as _get_config
 
     fcfg = _get_config("serving_vovnet_fast")
-    fmodel = make_detector(fcfg)
     fb, freps = 128, 8
     fimages = jnp.asarray(rng.standard_normal((fb, *canvas, 3), dtype=np.float32))
     fhws = jnp.tile(hw[None], (fb, 1))
-
-    @jax.jit
-    def fast_chained(params, cache, images, hws):
-        def body(i, carry):
-            det = jax.vmap(
-                lambda im, h: query_path_single(fmodel, params, cache, im + carry, h, fcfg)
-            )(images, hws)
-            return jnp.sum(det.scores) * 1e-12
-
-        return jax.lax.fori_loop(0, freps, body, jnp.asarray(0.0, images.dtype))
-
-    float(fast_chained(params, cache, fimages, fhws))  # compile
-    fruns = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fast_chained(params, cache, fimages, fhws))
-        fruns.append(time.perf_counter() - t0)
-    fast_fps = freps * fb / max(min(fruns) - rtt, 1e-9)
+    fast_fps = chained_serving_fps(
+        make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
+    )
     extra["fast_preset_batch128_images_per_sec"] = round(fast_fps, 1)
     extra["fast_preset_vs_baseline"] = round(fast_fps / 50.0, 2)
     extra["fast_preset_note"] = (

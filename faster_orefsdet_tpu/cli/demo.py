@@ -285,18 +285,27 @@ def main():
 
         if args.debug:
             raise SystemExit("--debug needs the sequential path; drop --parallel")
-        imgs, kept = [], []
-        for path in paths:
-            img = cv2.imread(path)
-            if img is None:
-                print(f"skip unreadable {path}")
-                continue
-            imgs.append(img)
-            kept.append(path)
+        # stream decodes: pending holds at most ~depth decoded frames (same
+        # bounded shape as the video path) — a 20k-image glob must not hold
+        # every decoded frame in RAM at once
+        pending = []
+
+        def images_iter():
+            for path in paths:
+                img = cv2.imread(path)
+                if img is None:
+                    print(f"skip unreadable {path}")
+                    continue
+                pending.append((path, img))
+                yield img
+
         pred = AsyncPredictor(cfg, params, cache, model, depth=8,
                               readback_workers=8)
         t0 = time.perf_counter()
-        for path, img, out in zip(kept, imgs, pred.run(imgs)):
+        n_done = 0
+        for out in pred.run(images_iter()):
+            path, img = pending.pop(0)
+            n_done += 1
             n_vis = int((out["scores"] >= args.confidence).sum())
             print(f"{path}: {len(out['scores'])} detections "
                   f"({n_vis} ≥ {args.confidence})")
@@ -305,8 +314,8 @@ def main():
                 draw_detections(img, out["boxes"], out["scores"], args.confidence),
             )
         wall = time.perf_counter() - t0
-        print(f"{len(kept)} images in {wall:.2f}s "
-              f"({len(kept) / max(wall, 1e-9):.1f} img/s, AsyncPredictor "
+        print(f"{n_done} images in {wall:.2f}s "
+              f"({n_done / max(wall, 1e-9):.1f} img/s, AsyncPredictor "
               "incl. first compile)")
         return
     for path in paths:

@@ -57,7 +57,13 @@ class CenterNet2Detector(nn.Module):
         if self.cfg.compute_dtype and self.cfg.compute_dtype != "float32":
             dtype = _jnp.dtype(self.cfg.compute_dtype)
         self.compute_dtype = dtype
-        quant = getattr(self.cfg, "quantize", "none") in ("int8", "int8_static")
+        qmode = getattr(self.cfg, "quantize", "none")
+        if qmode not in ("none", "int8", "int8_static"):
+            # a typo must not silently build an unquantized model
+            raise ValueError(
+                f"cfg.quantize={qmode!r}; expected 'none', 'int8' or 'int8_static'"
+            )
+        quant = qmode in ("int8", "int8_static")
         name = self.cfg.backbone_name
         if quant and name != "vovnet_fpn":
             raise ValueError(

@@ -81,7 +81,17 @@ class QuantConv(nn.Module):
         act_scale = None
         scales = quant.current_act_scales()
         if scales is not None:
-            act_scale = scales.get("/".join(self.path))
+            key = "/".join(self.path)
+            act_scale = scales.get(key)
+            if act_scale is None:
+                # a silent miss would fall back to DYNAMIC quantization for
+                # just this conv — the program would quietly mix static and
+                # dynamic (stale calibration file after a module rename)
+                raise ValueError(
+                    f"int8_static: no calibrated activation scale for conv "
+                    f"{key!r} (calibration has {len(scales)} entries) — "
+                    "re-run pipelines.quant_calib.calibrate_act_scales"
+                )
         y = quant.int8_conv(
             x, kernel, self.strides, self.padding,
             out_dtype=out_dtype, act_scale=act_scale,

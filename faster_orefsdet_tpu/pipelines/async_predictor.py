@@ -49,11 +49,13 @@ class AsyncPredictor:
         self.params = params
         self.cache = cache
         # packed=True: one [K,6] result array = ONE host readback per image
-        # (a Detections pytree costs one relay round-trip per leaf)
+        # (a Detections pytree costs one relay round-trip per leaf).
+        # Weights are PINNED into the program at construction: mutating
+        # .params/.cache afterwards has no effect — build a new predictor
+        # (a full recompile) to serve updated weights.
         self._pinned = build_pinned_inference_fn(
             cfg, params, cache, model=model, packed=True
         )
-        self.infer = lambda params, cache, image, hw: self._pinned(image, hw)
         self.depth = depth
         self.canvas_hw = canvas_hw
         self.readback_workers = readback_workers

@@ -311,6 +311,11 @@ def build_pinned_inference_fn(
 
     packed=True returns pack_detections(det) ([K,6] f32) instead of the
     Detections pytree — one readback per served result.
+
+    UNLIKE build_inference_fn there is no lru_cache: the weights are baked
+    into the closure, so every call to this builder is a fresh jit program
+    (a full retrace + compile — minutes through the remote-compile relay).
+    Build ONCE per weight set and reuse (AsyncPredictor holds exactly one).
     """
     model = model or make_detector(cfg)
     frozen_scales = _freeze_scales(cfg, act_scales)
