@@ -254,3 +254,37 @@ def test_int8_preset_and_backbone_gate():
     model = make_detector(bad)
     with pytest.raises(ValueError, match="vovnet_fpn"):
         init_params(model, bad, jax.random.PRNGKey(0))
+
+
+def test_static_missing_scale_raises():
+    """A conv path absent from the calibration dict must raise at trace
+    time — a silent per-conv fallback to dynamic quantization would mix
+    static+dynamic without warning (round-4 self-review)."""
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.ops.quant import static_act_scales
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.pipelines.quant_calib import calibrate_act_scales
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet").replace(quantize="int8_static")
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.standard_normal((1, 96, 128, 3), np.float32))
+    scales = calibrate_act_scales(cfg, params, imgs)
+    stale = dict(scales)
+    missing = sorted(stale)[0]
+    del stale[missing]
+    with pytest.raises(ValueError, match="no calibrated activation scale"):
+        with static_act_scales(stale):
+            model.apply({"params": params}, imgs, method=model.features)
+
+
+def test_unknown_quantize_string_raises():
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    bad = get_config("finetune_vovnet").replace(quantize="int8-static")
+    with pytest.raises(ValueError, match="cfg.quantize"):
+        init_params(make_detector(bad), bad, jax.random.PRNGKey(0))
