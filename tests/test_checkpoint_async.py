@@ -193,3 +193,31 @@ def test_profiling_cost_analysis():
     ca = cost_analysis(f, jnp.ones((64, 64)))
     assert ca.get("flops", 0) > 0
     device_memory()  # must not raise
+
+
+def test_pack_unpack_detections_roundtrip():
+    """pack_detections ([K,6]) / unpack_detections_np inverse pair — single
+    and batched shapes (the one-readback-per-result contract)."""
+    from faster_orefsdet_tpu.pipelines.inference import (
+        pack_detections,
+        unpack_detections_np,
+    )
+    from faster_orefsdet_tpu.structures.instances import Detections
+
+    rng = np.random.default_rng(3)
+    for shape in ((7,), (4, 7)):
+        boxes = rng.standard_normal((*shape, 4)).astype(np.float32)
+        scores = rng.random(shape).astype(np.float32)
+        valid = rng.random(shape) > 0.5
+        det = Detections(
+            boxes=jnp.asarray(boxes),
+            scores=jnp.asarray(scores),
+            classes=jnp.zeros(shape, jnp.int32),
+            valid=jnp.asarray(valid),
+        )
+        packed = pack_detections(det)
+        assert packed.shape == (*shape, 6)
+        d = unpack_detections_np(packed)
+        np.testing.assert_array_equal(d["boxes"], boxes)
+        np.testing.assert_array_equal(d["scores"], scores)
+        np.testing.assert_array_equal(d["valid"], valid)
