@@ -50,7 +50,12 @@ def main():
     which = _sys.argv[3] if len(_sys.argv) > 3 else "both"
     phases = "--phases" in _sys.argv
 
-    cfg = get_config("finetune_vovnet").replace(compute_dtype="bfloat16")
+    if "--preset" in _sys.argv:  # e.g. serving_vovnet_fast (Pallas NMS+CGM)
+        preset = _sys.argv[_sys.argv.index("--preset") + 1]
+        cfg = get_config(preset)
+        print(f"[preset {preset}]")
+    else:
+        cfg = get_config("finetune_vovnet").replace(compute_dtype="bfloat16")
     if "--post" in _sys.argv:  # ROI-budget knob (round-3 fast preset: 64)
         import dataclasses
 
