@@ -33,7 +33,11 @@ REGIMES = {
     "base": {},
     "dense_small": {"min_blobs": 8, "max_blobs": 16, "blob_size": (14.0, 40.0)},
 }
-SEEDS = (0, 1, 2)
+# env overrides: ABL_SEEDS="0,1" ABL_REGIMES="base" (split long runs /
+# CPU smoke); defaults are the full VERDICT-r3-#4 protocol
+SEEDS = tuple(int(s) for s in _os.environ.get("ABL_SEEDS", "0,1,2").split(","))
+if _os.environ.get("ABL_REGIMES"):
+    REGIMES = {k: REGIMES[k] for k in _os.environ["ABL_REGIMES"].split(",")}
 BUDGETS = (256, 64)
 
 
