@@ -21,7 +21,11 @@ host — the served-system figure), single-dispatch latency, and the
 AP-neutral fast preset's batch-128 pure-compute serving figure
 (RESULTS.md budget ablation).
 Set BENCH_BATCHED=1 (+BENCH_BATCH_SIZE) for the parity-config batched path
-and BENCH_TRAIN=1 for train-step timing — each adds a slow compile.
+and BENCH_TRAIN=1 for train-step timing — each adds a slow compile. The
+pinned/pipelined rows and the fast-preset batch-128 row each also cost one
+extra multi-minute relay compile; they default ON (they are the round's
+headline evidence) but BENCH_PIPELINED=0 / BENCH_FAST=0 skip them for a
+minimal run.
 Round-3 figures on TPU v5e: batch-1 pure compute ~1450-1540 img/s (~30x
 baseline, RTT subtracted); fast-preset batch-128 serving 3613-3698 img/s
 (72-74x; roofline analysis in RESULTS.md).
@@ -134,38 +138,42 @@ def main():
     # per-dispatch host cost is just the two image tensors instead of the
     # ~170-leaf param pytree — measured 0.93-0.94x of pure compute vs the
     # plain loop's 0.66-0.75x (tools/pipelined_bench.py, RESULTS.md r4).
-    from concurrent.futures import ThreadPoolExecutor
+    # BENCH_PIPELINED=0 skips this block's extra multi-minute relay compile
+    # (the pinned program is a fresh jit program) for a minimal bench run.
+    pinned_fps = pipelined_fps = None
+    if os.environ.get("BENCH_PIPELINED") != "0":
+        from concurrent.futures import ThreadPoolExecutor
 
-    from faster_orefsdet_tpu.pipelines.inference import build_pinned_inference_fn
+        from faster_orefsdet_tpu.pipelines.inference import build_pinned_inference_fn
 
-    pinned = build_pinned_inference_fn(cfg, params, cache, model=model, packed=True)
-    float(jnp.sum(pinned(image, hw)))  # compile
-    t0 = time.perf_counter()
-    for _ in range(n - 1):
-        pinned(image, hw)
-    float(jnp.sum(pinned(image, hw)))
-    pinned_fps = n / (time.perf_counter() - t0)
-
-    # PIPELINED served-system loop: pinned program + a readback thread pool
-    # fetching EVERY result (packed [K,6] = one relay round-trip each) while
-    # later dispatches proceed — the AsyncPredictor mechanism
-    # (pipelines/async_predictor.py; reference predictor.py:150-238).
-    def read(packed):
-        return np.asarray(packed)
-
-    np_read = 0
-    with ThreadPoolExecutor(max_workers=32) as pool:
+        pinned = build_pinned_inference_fn(cfg, params, cache, model=model, packed=True)
+        float(jnp.sum(pinned(image, hw)))  # compile
         t0 = time.perf_counter()
-        futs = []
-        for _ in range(n):
-            futs.append(pool.submit(read, pinned(image, hw)))
-            if len(futs) > 96:
-                futs.pop(0).result()
+        for _ in range(n - 1):
+            pinned(image, hw)
+        float(jnp.sum(pinned(image, hw)))
+        pinned_fps = n / (time.perf_counter() - t0)
+
+        # PIPELINED served-system loop: pinned program + a readback thread
+        # pool fetching EVERY result (packed [K,7] = one relay round-trip
+        # each) while later dispatches proceed — the AsyncPredictor mechanism
+        # (pipelines/async_predictor.py; reference predictor.py:150-238).
+        def read(packed):
+            return np.asarray(packed)
+
+        np_read = 0
+        with ThreadPoolExecutor(max_workers=32) as pool:
+            t0 = time.perf_counter()
+            futs = []
+            for _ in range(n):
+                futs.append(pool.submit(read, pinned(image, hw)))
+                if len(futs) > 96:
+                    futs.pop(0).result()
+                    np_read += 1
+            for f in futs:
+                f.result()
                 np_read += 1
-        for f in futs:
-            f.result()
-            np_read += 1
-        pipelined_fps = np_read / (time.perf_counter() - t0)
+            pipelined_fps = np_read / (time.perf_counter() - t0)
 
     extra = {
         "per_image_ms_pure": round(1000.0 / pure_fps, 3),
@@ -173,38 +181,41 @@ def main():
         "session_variance_note": "shared-relay sessions vary ~5%; the min/max band above is this session's measured spread",
         "relay_rtt_ms_subtracted": round(rtt * 1000, 2),
         "dispatch_loop_images_per_sec": round(sustained_fps, 1),
-        "pinned_dispatch_images_per_sec": round(pinned_fps, 1),
-        "pinned_dispatch_vs_pure_compute": round(pinned_fps / pure_fps, 3),
-        "pipelined_served_images_per_sec": round(pipelined_fps, 1),
-        "pipelined_served_vs_pure_compute": round(pipelined_fps / pure_fps, 3),
         "single_dispatch_readback_ms": round(lat_single * 1000, 2),
         "compute_dtype": cfg.compute_dtype,
         "device": str(jax.devices()[0]),
     }
+    if pinned_fps is not None:
+        extra["pinned_dispatch_images_per_sec"] = round(pinned_fps, 1)
+        extra["pinned_dispatch_vs_pure_compute"] = round(pinned_fps / pure_fps, 3)
+        extra["pipelined_served_images_per_sec"] = round(pipelined_fps, 1)
+        extra["pipelined_served_vs_pure_compute"] = round(pipelined_fps / pure_fps, 3)
 
     # ---- AP-neutral fast preset (post_nms=64, Pallas NMS), batch-128 pure
     # compute — the repo's best sustained serving figure (RESULTS.md budget
     # ablation), emitted by default so the round artifact self-documents it.
     # Reuses tools/_harness.chained_serving_fps: ONE copy of the chained-
     # program + RTT-subtraction methodology shared with every tools/ bench.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from _harness import chained_serving_fps
+    # BENCH_FAST=0 skips this block's extra batch-128 relay compile.
+    if os.environ.get("BENCH_FAST") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from _harness import chained_serving_fps
 
-    from faster_orefsdet_tpu.config import get_config as _get_config
+        from faster_orefsdet_tpu.config import get_config as _get_config
 
-    fcfg = _get_config("serving_vovnet_fast")
-    fb, freps = 128, 8
-    fimages = jnp.asarray(rng.standard_normal((fb, *canvas, 3), dtype=np.float32))
-    fhws = jnp.tile(hw[None], (fb, 1))
-    fast_fps = chained_serving_fps(
-        make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
-    )
-    extra["fast_preset_batch128_images_per_sec"] = round(fast_fps, 1)
-    extra["fast_preset_vs_baseline"] = round(fast_fps / 50.0, 2)
-    extra["fast_preset_note"] = (
-        "serving_vovnet_fast (post_nms_topk_test=64, AP-neutral on the "
-        "RESULTS.md ablation protocol), batch-128 chained pure compute"
-    )
+        fcfg = _get_config("serving_vovnet_fast")
+        fb, freps = 128, 8
+        fimages = jnp.asarray(rng.standard_normal((fb, *canvas, 3), dtype=np.float32))
+        fhws = jnp.tile(hw[None], (fb, 1))
+        fast_fps = chained_serving_fps(
+            make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
+        )
+        extra["fast_preset_batch128_images_per_sec"] = round(fast_fps, 1)
+        extra["fast_preset_vs_baseline"] = round(fast_fps / 50.0, 2)
+        extra["fast_preset_note"] = (
+            "serving_vovnet_fast (post_nms_topk_test=64, AP-neutral on the "
+            "RESULTS.md ablation protocol), batch-128 chained pure compute"
+        )
 
     if os.environ.get("BENCH_BATCHED") == "1":
         import dataclasses

@@ -88,6 +88,18 @@ def draw_detections(img, boxes, scores, thresh):
 
 def main():
     args = parse_args()
+    # unsupported flag combinations fail loudly (like the --debug guard
+    # below) instead of silently ignoring a flag
+    if args.parallel and args.num_devices > 1:
+        raise SystemExit(
+            "--parallel (AsyncPredictor, single-device pinned program) and "
+            "--num-devices > 1 (DP serving) are mutually exclusive"
+        )
+    if args.parallel and (args.video_input or args.webcam) and args.frame_batch > 1:
+        raise SystemExit(
+            "--parallel drives per-frame video only: pass --frame-batch 1 "
+            "(or drop --parallel to use the fused batched serving program)"
+        )
 
     import cv2
     import numpy as np

@@ -27,14 +27,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# row-chunk for the IoU build: bounds the [CH, K] temporaries to ~1 MB each
+# row-chunk for the IoU build: bounds the [CH, K] f32 temporaries. 256 rows
+# up to K=1024 (~1 MB each); above that the [K,K] int8 scratches already eat
+# 4.5-6.2 MB of the ~16 MB core budget, so the chunk halves to keep the
+# loop-body transient stack bounded.
 _CHUNK = 256
+_MAX_K = 1792  # 2*K*K int8 = 6.125 MiB at the cap; validated on v5e
+
+
+def _chunk_for(k: int) -> int:
+    return min(_CHUNK if k <= 1024 else 128, k)
 
 
 def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
                 kept_ref, e_ref, et_ref, colbuf_ref, vecbuf_ref, *, thr):
     k = boxes_ref.shape[0]
-    ch = min(_CHUNK, k)
+    ch = _chunk_for(k)
 
     x1c = boxes_t_ref[0:1, :]  # [1, K] column layouts (pre-transposed by XLA)
     y1c = boxes_t_ref[1:2, :]
@@ -88,11 +96,12 @@ def _nms_kernel(boxes_ref, boxes_t_ref, sr_ref, sc_ref, vr_ref, vc_ref,
         return jnp.sum(und_c) > 0.0
 
     f32 = jnp.float32
-    # MUST match the supported() divisibility gate (k % _CHUNK == 0): a
-    # larger tile (e.g. 512) truncates the fori_loop trip count for k=768 —
-    # any_rows would skip rows >= (k//512)*512 and any_cols would leave the
-    # colbuf tail uninitialized, corrupting the keep mask.
-    red_ch = min(_CHUNK, k)
+    # MUST divide k (the wrapper pads k to a multiple of 256, and both chunk
+    # sizes {128, 256} divide that): a larger tile would truncate the
+    # fori_loop trip count — any_rows would skip rows >= (k//tile)*tile and
+    # any_cols would leave the colbuf tail uninitialized, corrupting the
+    # keep mask.
+    red_ch = _chunk_for(k)
 
     def any_rows(mat_ref, vec_col):
         """any_i mat[i,j]*vec[i] -> [1,K] bool. fori-chunked over rows: the
@@ -154,31 +163,48 @@ def nms_mask_pallas(
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for ops.nms.nms_mask: boxes [K,4], scores [K], valid [K] ->
-    keep mask [K]. TPU-only (pass interpret=True elsewhere, e.g. CPU tests)."""
+    keep mask [K].
+
+    interpret=None auto-selects the Pallas interpreter on the CPU backend
+    (numerically identical, slow — CI/tests), the compiled kernel on TPU.
+
+    K is padded up to a multiple of 256 with invalid rows (score -1, valid 0)
+    so any K <= supported() cap works; invalid rows can never suppress (the
+    hit test requires both sides valid) and start decided-out of the
+    fixpoint, so the padded program's first-K keep mask is exactly the
+    unpadded program's."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     k = boxes.shape[0]
+    kp = -(-k // 256) * 256
     fboxes = boxes.astype(jnp.float32)
     fscores = scores.astype(jnp.float32)
     fvalid = valid.astype(jnp.float32)
+    if kp != k:
+        pad = kp - k
+        fboxes = jnp.concatenate([fboxes, jnp.zeros((pad, 4), jnp.float32)])
+        fscores = jnp.concatenate([fscores, jnp.full((pad,), -1.0, jnp.float32)])
+        fvalid = jnp.concatenate([fvalid, jnp.zeros((pad,), jnp.float32)])
 
     kept = pl.pallas_call(
         functools.partial(_nms_kernel, thr=float(iou_threshold)),
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((k, k), jnp.int8),  # e (rank-DAG suppression)
-            pltpu.VMEM((k, k), jnp.int8),  # e^T (by IoU symmetry)
-            pltpu.VMEM((k, 1), jnp.float32),  # column-reduce buffer
-            pltpu.VMEM((k, 1), jnp.float32),  # any_rows vector staging
+            pltpu.VMEM((kp, kp), jnp.int8),  # e (rank-DAG suppression)
+            pltpu.VMEM((kp, kp), jnp.int8),  # e^T (by IoU symmetry)
+            pltpu.VMEM((kp, 1), jnp.float32),  # column-reduce buffer
+            pltpu.VMEM((kp, 1), jnp.float32),  # any_rows vector staging
         ],
         interpret=interpret,
     )(fboxes, fboxes.T, fscores[:, None], fscores[None, :],
       fvalid[:, None], fvalid[None, :])
 
-    return kept[0] > 0.5
+    return kept[0, :k] > 0.5
 
 
 def batched_nms_mask_pallas(
@@ -187,7 +213,7 @@ def batched_nms_mask_pallas(
     classes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Class-aware variant via the coordinate-offset trick (d2 batched_nms)."""
     if boxes.shape[0] == 0:
@@ -200,12 +226,11 @@ def batched_nms_mask_pallas(
 
 
 def supported(k: int) -> bool:
-    """Kernel applicability — BOTH constraints jointly: (1) K must tile into
-    the chunked build/reduce loops — any K <= 256 (the tile is K itself),
-    else a multiple of 256 — and (2) the two [K,K] *int8* scratches must
-    fit the VMEM slice: 2*K*K bytes <= 4 MiB. The byte bound alone would
-    allow K <= 1448, but with the divisibility gate the usable values above
-    256 are exactly {512, 768, 1024, 1280} — a deliberately conservative
-    slice of the ~16 MB/core budget leaving room for the f32 loop
-    transients."""
-    return (k % min(_CHUNK, k) == 0) and (2 * k * k <= 4 * 1024 * 1024)
+    """Kernel applicability: any K <= _MAX_K (=1792). The wrapper pads K up
+    to a multiple of 256, so there is no divisibility cliff (pre-round-5 the
+    gate also required K % 256 == 0, which dropped the fast preset's ~1700
+    pre-NMS candidate set to the XLA fixpoint). At the cap the two [K,K]
+    int8 scratches are 6.125 MiB and the build/reduce loops run 128-row
+    chunks ([128, K] f32 transients, 0.875 MiB each) — together a bounded
+    slice of the ~16 MB/core VMEM budget."""
+    return 0 < k <= _MAX_K

@@ -46,13 +46,13 @@ class AsyncPredictor:
         readback_workers: int = 0,
     ):
         self.cfg = cfg
-        self.params = params
-        self.cache = cache
-        # packed=True: one [K,6] result array = ONE host readback per image
+        # Weights are PINNED into the program at construction (underscored:
+        # mutating them would silently have no effect on inference — build a
+        # new predictor, a full recompile, to serve updated weights).
+        self._params = params
+        self._cache = cache
+        # packed=True: one [K,7] result array = ONE host readback per image
         # (a Detections pytree costs one relay round-trip per leaf).
-        # Weights are PINNED into the program at construction: mutating
-        # .params/.cache afterwards has no effect — build a new predictor
-        # (a full recompile) to serve updated weights.
         self._pinned = build_pinned_inference_fn(
             cfg, params, cache, model=model, packed=True
         )

@@ -265,14 +265,17 @@ def _build_inference_cached(cfg: Config, model: CenterNet2Detector, frozen_scale
 
 
 def pack_detections(det: Detections) -> jnp.ndarray:
-    """Detections → one [K, 6] f32 array (x1,y1,x2,y2,score,valid).
+    """Detections → one [K, 7] f32 array (x1,y1,x2,y2,score,class,valid).
 
     A multi-leaf result costs one host round-trip PER LEAF to fetch through
-    the relay; packing makes a served result exactly one readback."""
+    the relay; packing makes a served result exactly one readback. The class
+    column rides along so the format also represents multiclass results
+    (query_path_multiclass output)."""
     return jnp.concatenate(
         [
             det.boxes.astype(jnp.float32),
             det.scores.astype(jnp.float32)[..., None],
+            det.classes.astype(jnp.float32)[..., None],
             det.valid.astype(jnp.float32)[..., None],
         ],
         axis=-1,
@@ -284,8 +287,13 @@ def unpack_detections_np(packed) -> dict:
     import numpy as np
 
     arr = np.asarray(packed)
-    valid = arr[..., 5] > 0.5
-    return {"boxes": arr[..., :4], "scores": arr[..., 4], "valid": valid}
+    valid = arr[..., 6] > 0.5
+    return {
+        "boxes": arr[..., :4],
+        "scores": arr[..., 4],
+        "classes": arr[..., 5].astype(np.int32),
+        "valid": valid,
+    }
 
 
 def build_pinned_inference_fn(

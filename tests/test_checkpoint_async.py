@@ -196,8 +196,9 @@ def test_profiling_cost_analysis():
 
 
 def test_pack_unpack_detections_roundtrip():
-    """pack_detections ([K,6]) / unpack_detections_np inverse pair — single
-    and batched shapes (the one-readback-per-result contract)."""
+    """pack_detections ([K,7] incl. classes) / unpack_detections_np inverse
+    pair — single and batched shapes (the one-readback-per-result contract,
+    multiclass-capable)."""
     from faster_orefsdet_tpu.pipelines.inference import (
         pack_detections,
         unpack_detections_np,
@@ -208,16 +209,18 @@ def test_pack_unpack_detections_roundtrip():
     for shape in ((7,), (4, 7)):
         boxes = rng.standard_normal((*shape, 4)).astype(np.float32)
         scores = rng.random(shape).astype(np.float32)
+        classes = rng.integers(0, 3, shape).astype(np.int32)
         valid = rng.random(shape) > 0.5
         det = Detections(
             boxes=jnp.asarray(boxes),
             scores=jnp.asarray(scores),
-            classes=jnp.zeros(shape, jnp.int32),
+            classes=jnp.asarray(classes),
             valid=jnp.asarray(valid),
         )
         packed = pack_detections(det)
-        assert packed.shape == (*shape, 6)
+        assert packed.shape == (*shape, 7)
         d = unpack_detections_np(packed)
         np.testing.assert_array_equal(d["boxes"], boxes)
         np.testing.assert_array_equal(d["scores"], scores)
+        np.testing.assert_array_equal(d["classes"], classes)
         np.testing.assert_array_equal(d["valid"], valid)

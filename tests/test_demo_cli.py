@@ -209,6 +209,29 @@ def test_demo_cli_dp_indivisible_frame_batch_rejected(monkeypatch, tmp_path):
         main()
 
 
+def test_demo_cli_parallel_flag_conflicts_rejected(monkeypatch):
+    """--parallel with --num-devices>1 or video --frame-batch>1 must fail
+    loudly (the flags were silently ignored before round 5). The guards run
+    before any model work, so no support index / weights are needed."""
+    from faster_orefsdet_tpu.cli.demo import main
+
+    argv = [
+        "demo", "--input", "x/*.png", "--output", "o", "--support-index",
+        "i.json", "--parallel", "--num-devices", "2",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main()
+
+    argv = [
+        "demo", "--video-input", "c.avi", "--output", "o", "--support-index",
+        "i.json", "--parallel", "--frame-batch", "8",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit, match="frame-batch 1"):
+        main()
+
+
 def test_demo_cli_parallel_glob(tmp_path, monkeypatch):
     """--parallel glob path (reference demo.py parallel=True -> AsyncPredictor,
     predictor.py:150-238): pipelined results match the sequential path's

@@ -37,7 +37,14 @@ def _scene(rng, k, n_valid, spread=200.0, size=40.0):
                                            # truncate the fori_loop (advisor
                                            # r2 high finding) — must cover ALL
                                            # rows with the _CHUNK tile.
-                                           (768, 768, 0.5), (1280, 1100, 0.6)])
+                                           (768, 768, 0.5), (1280, 1100, 0.6),
+                                           # non-multiples of 256: wrapper
+                                           # padding (round 5); 1700 is the
+                                           # fast preset's real pre-NMS
+                                           # candidate count, 1792 the cap
+                                           # (also the k>1024 128-row chunk)
+                                           (100, 80, 0.5), (652, 600, 0.6),
+                                           (1700, 1500, 0.6), (1792, 1792, 0.6)])
 def test_pallas_nms_matches_fixpoint_and_oracle(k, n_valid, thr):
     rng = np.random.default_rng(k + n_valid)
     boxes, scores, valid = _scene(rng, k, n_valid)
