@@ -38,6 +38,11 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import time
 
 import jax
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize swallows the env var (CLAUDE.md gotcha);
+    # honor it in-process so CPU smokes don't touch the TPU relay
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
