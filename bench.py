@@ -207,15 +207,32 @@ def main():
         fb, freps = 128, 8
         fimages = jnp.asarray(rng.standard_normal((fb, *canvas, 3), dtype=np.float32))
         fhws = jnp.tile(hw[None], (fb, 1))
-        fast_fps = chained_serving_fps(
-            make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
-        )
-        extra["fast_preset_batch128_images_per_sec"] = round(fast_fps, 1)
-        extra["fast_preset_vs_baseline"] = round(fast_fps / 50.0, 2)
-        extra["fast_preset_note"] = (
+        note = (
             "serving_vovnet_fast (post_nms_topk_test=64, AP-neutral on the "
             "RESULTS.md ablation protocol), batch-128 chained pure compute"
         )
+        try:
+            fast_fps = chained_serving_fps(
+                make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
+            )
+        except Exception as e:  # noqa: BLE001
+            # round-5 routes the decode NMS (K~1700) through the extended
+            # Pallas kernel; if THIS backend rejects the padded kernel
+            # (e.g. VMEM pressure), degrade to the XLA-fixpoint NMS rather
+            # than redden the whole round artifact
+            import dataclasses
+
+            fcfg = fcfg.replace(
+                centernet=dataclasses.replace(fcfg.centernet, use_pallas_nms=False),
+                roi=dataclasses.replace(fcfg.roi, use_pallas_nms=False),
+            )
+            fast_fps = chained_serving_fps(
+                make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
+            )
+            note += f" [XLA-fixpoint NMS fallback; pallas error: {type(e).__name__}]"
+        extra["fast_preset_batch128_images_per_sec"] = round(fast_fps, 1)
+        extra["fast_preset_vs_baseline"] = round(fast_fps / 50.0, 2)
+        extra["fast_preset_note"] = note
 
     if os.environ.get("BENCH_BATCHED") == "1":
         import dataclasses
