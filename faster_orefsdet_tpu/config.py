@@ -348,9 +348,11 @@ def serving_vovnet_int8_static() -> Config:
     abs-max reduction passes that made the dynamic-int8 preset 35% slower.
     Measured (RESULTS.md round-4 A/B): AP-neutral and recovers the whole
     dynamic penalty (2,372 → 3,674 img/s at batch 128) but only TIES the
-    bf16 fast preset (+1%, within session noise) — the fast preset is
-    occupancy-bound, not byte-bound, at this model size. Serve bf16 for
-    speed; this preset exists for memory-constrained deployments.
+    bf16 fast preset (+1%, within session noise) — the per-conv dequant
+    boundaries keep materialized intermediates at bf16 width, so PTQ
+    insertion does not reduce the HBM-roofline-bound path's traffic
+    (RESULTS.md reconciliation, round 5). Serve bf16 for speed; this
+    preset exists for memory-constrained deployments.
     Builders require act_scales= (calibrate_act_scales)."""
     return serving_vovnet_fast().replace(quantize="int8_static")
 
