@@ -32,7 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 # 4.5-6.2 MB of the ~16 MB core budget, so the chunk halves to keep the
 # loop-body transient stack bounded.
 _CHUNK = 256
-_MAX_K = 1792  # 2*K*K int8 = 6.125 MiB at the cap; validated on v5e
+_MAX_K = 1792  # 2*K*K int8 = 6.125 MiB at the cap — sized against the
+# ~16 MB/core v5e VMEM budget with the 128-row chunk transients; interpret-
+# mode equivalence tested to the cap (tests/test_pallas_nms.py); compiled-
+# mode validation on hardware is step (a) of tools/round5_tpu_queue.sh
+# (bench.py carries an XLA-fixpoint fallback until that lands)
 
 
 def _chunk_for(k: int) -> int:
