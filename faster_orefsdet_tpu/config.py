@@ -357,12 +357,29 @@ def serving_vovnet_int8_static() -> Config:
     return serving_vovnet_fast().replace(quantize="int8_static")
 
 
+def serving_vovnet_int8_resident() -> Config:
+    """serving_vovnet_fast + int8-RESIDENT backbone (round 5): the VoVNet
+    stem/OSA conv chains flow int8 tensors end-to-end — each conv's epilogue
+    fuses dequant+FrozenBN+relu+requant and WRITES int8, and the OSA concat
+    happens in int8 with per-branch scales folded into the aggregation
+    conv's weights (ops.quant.QTensor/qconcat, models.layers.ConvNorm
+    resident path). This is the structural fix for why int8_static only
+    tied bf16: there every conv dequantized to the wide compute dtype and
+    the concat materialized wide (RESULTS.md round-5 reconciliation —
+    backbone bytes 325 MB/img static vs 287 bf16). The FPN keeps the
+    int8_static scheme (float stage-output inputs).
+    Builders require act_scales= calibrated WITH THIS config (the resident
+    scale set adds OSA-input and conv-OUTPUT keys)."""
+    return serving_vovnet_fast().replace(quantize="int8_resident")
+
+
 _NAMED_CONFIGS = {
     "finetune_vovnet": finetune_vovnet_25shot,
     "serving_vovnet": serving_vovnet,
     "serving_vovnet_fast": serving_vovnet_fast,
     "serving_vovnet_int8": serving_vovnet_int8,
     "serving_vovnet_int8_static": serving_vovnet_int8_static,
+    "serving_vovnet_int8_resident": serving_vovnet_int8_resident,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),

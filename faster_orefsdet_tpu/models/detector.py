@@ -58,12 +58,13 @@ class CenterNet2Detector(nn.Module):
             dtype = _jnp.dtype(self.cfg.compute_dtype)
         self.compute_dtype = dtype
         qmode = getattr(self.cfg, "quantize", "none")
-        if qmode not in ("none", "int8", "int8_static"):
+        if qmode not in ("none", "int8", "int8_static", "int8_resident"):
             # a typo must not silently build an unquantized model
             raise ValueError(
-                f"cfg.quantize={qmode!r}; expected 'none', 'int8' or 'int8_static'"
+                f"cfg.quantize={qmode!r}; expected 'none', 'int8', "
+                "'int8_static' or 'int8_resident'"
             )
-        quant = qmode in ("int8", "int8_static")
+        quant = qmode in ("int8", "int8_static", "int8_resident")
         name = self.cfg.backbone_name
         if quant and name != "vovnet_fpn":
             raise ValueError(
@@ -76,6 +77,9 @@ class CenterNet2Detector(nn.Module):
                 out_features=self.cfg.vovnet.out_features,
                 dtype=dtype,
                 quant=quant,
+                # backbone int8-resident; the FPN keeps the int8_static
+                # scheme (its inputs are the float stage outputs)
+                resident=(qmode == "int8_resident"),
             )
             self.fpn = FPN(
                 in_features=self.cfg.fpn.in_features,

@@ -60,42 +60,68 @@ class QuantConv(nn.Module):
     dtype: Optional[jnp.dtype] = None  # dequant output dtype
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, raw: bool = False):
         from ..ops import quant
 
+        is_q = isinstance(x, quant.QTensor)
+        in_ch = x.channels if is_q else x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (kh, kw, x.shape[-1], self.features),
+            (kh, kw, in_ch, self.features),
         )
-        out_dtype = self.dtype or x.dtype
-        if self.is_mutable_collection("act_amax"):
-            self.sow(
-                "act_amax",
-                "amax",
-                jnp.max(jnp.abs(x.astype(jnp.float32))),
-                reduce_fn=jnp.maximum,
-                init_fn=lambda: jnp.zeros((), jnp.float32),
-            )
-        act_scale = None
-        scales = quant.current_act_scales()
-        if scales is not None:
-            key = "/".join(self.path)
-            act_scale = scales.get(key)
-            if act_scale is None:
-                # a silent miss would fall back to DYNAMIC quantization for
-                # just this conv — the program would quietly mix static and
-                # dynamic (stale calibration file after a module rename)
-                raise ValueError(
-                    f"int8_static: no calibrated activation scale for conv "
-                    f"{key!r} (calibration has {len(scales)} entries) — "
-                    "re-run pipelines.quant_calib.calibrate_act_scales"
+        if not is_q:
+            out_dtype = self.dtype or x.dtype
+            if self.is_mutable_collection("act_amax"):
+                self.sow(
+                    "act_amax",
+                    "amax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
                 )
-        y = quant.int8_conv(
-            x, kernel, self.strides, self.padding,
-            out_dtype=out_dtype, act_scale=act_scale,
+            act_scale = None
+            scales = quant.current_act_scales()
+            if scales is not None:
+                key = "/".join(self.path)
+                act_scale = scales.get(key)
+                if act_scale is None:
+                    # a silent miss would fall back to DYNAMIC quantization for
+                    # just this conv — the program would quietly mix static and
+                    # dynamic (stale calibration file after a module rename)
+                    raise ValueError(
+                        f"int8_static: no calibrated activation scale for conv "
+                        f"{key!r} (calibration has {len(scales)} entries) — "
+                        "re-run pipelines.quant_calib.calibrate_act_scales"
+                    )
+            if not raw:
+                y = quant.int8_conv(
+                    x, kernel, self.strides, self.padding,
+                    out_dtype=out_dtype, act_scale=act_scale,
+                )
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                    y = y + bias.astype(y.dtype)
+                return y
+            # raw over a float input: quantize here (static scale, or a
+            # per-TENSOR dynamic scalar — resident tensors carry one scale,
+            # not the per-example [B,1,1,1] of the plain int8 path), then
+            # fall through to the resident conv
+            if act_scale is not None:
+                x = quant.QTensor(quant.quantize_static(x, act_scale), act_scale)
+            else:
+                q, s = quant.quantize_symmetric(x)
+                x = quant.QTensor(q, s)
+        # int8-resident input: incoming (possibly per-channel) scale folds
+        # into the weights; no quantize pass, no input sow (the producer's
+        # epilogue owns that boundary)
+        acc, factor = quant.int8_conv_resident(
+            x, kernel, self.strides, self.padding
         )
+        if raw:
+            return acc, factor
+        y = (acc.astype(jnp.float32) * factor).astype(self.dtype or jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -105,7 +131,17 @@ class QuantConv(nn.Module):
 class ConvNorm(nn.Module):
     """conv (no bias) + FrozenBN [+ relu] — the VoVNet conv3x3/conv1x1 unit
     (vovnet.py:205-236). quant=True swaps the conv onto the int8 MXU path
-    (identical param tree)."""
+    (identical param tree).
+
+    resident=True (implies quant) runs the int8-RESIDENT pipeline: the conv
+    consumes a float array OR an ops.quant.QTensor, and the whole epilogue
+    — int32 dequant, FrozenBN affine, relu, requantize — fuses into one
+    per-channel elementwise pass so the tensor written to HBM is int8
+    (emit_float=False) with a calibrated output scale keyed by this module's
+    path (dynamic abs-max when no static_act_scales context is active, i.e.
+    during calibration). This is what the plain int8_static mode cannot do:
+    there each conv dequantizes to the wide compute dtype and the OSA concat
+    materializes wide (RESULTS.md round-5 roofline reconciliation)."""
 
     features: int
     kernel_size: int = 3
@@ -113,9 +149,49 @@ class ConvNorm(nn.Module):
     relu: bool = True
     dtype: Optional[jnp.dtype] = None
     quant: bool = False
+    resident: bool = False
+    emit_float: bool = False  # resident only: skip the output requant
 
     @nn.compact
     def __call__(self, x):
+        from ..ops import quant as quant_ops
+
+        if self.resident:
+            acc, factor = QuantConv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=self.stride,
+                padding=self.kernel_size // 2,
+                use_bias=False,
+                name="conv",
+            )(x, raw=True)
+            y = acc.astype(jnp.float32) * factor
+            y = FrozenBatchNorm(self.features, name="norm")(y)
+            if self.relu:
+                y = nn.relu(y)
+            if self.emit_float:
+                return y.astype(self.dtype or jnp.float32)
+            if self.is_mutable_collection("act_amax"):
+                self.sow(
+                    "act_amax",
+                    "amax",
+                    jnp.max(jnp.abs(y)),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                )
+            scales = quant_ops.current_act_scales()
+            if scales is not None:
+                key = "/".join(self.path)
+                s_out = scales.get(key)
+                if s_out is None:
+                    raise ValueError(
+                        f"int8_resident: no calibrated OUTPUT scale for "
+                        f"{key!r} (calibration has {len(scales)} entries) — "
+                        "re-run calibrate_act_scales with the resident config"
+                    )
+            else:
+                s_out = jnp.maximum(jnp.max(jnp.abs(y)) / 127.0, 1e-8)
+            return quant_ops.requantize(y, s_out)
         if self.quant:
             x = QuantConv(
                 self.features,

@@ -78,9 +78,12 @@ class OSAModule(nn.Module):
     depthwise: bool = False
     dtype: Optional[jnp.dtype] = None
     quant: bool = False
+    resident: bool = False  # int8-resident chain + concat (layers.ConvNorm)
 
     @nn.compact
     def __call__(self, x):
+        if self.resident:
+            return self._resident(x)
         identity_feat = x
         outputs = [x]
         if self.depthwise and x.shape[-1] != self.stage_ch:
@@ -101,6 +104,56 @@ class OSAModule(nn.Module):
             x = x + identity_feat
         return x
 
+    def _resident(self, x):
+        """int8-resident OSA: the conv chain and the aggregation concat stay
+        int8 end-to-end (per-branch scales ride QTensor metadata and fold
+        into the concat conv's weights — ops.quant.qconcat); only the eSE
+        gate and the stage output are float. Same param tree as the float /
+        int8_static paths. Reference structure: vovnet.py:263-332."""
+        from ..ops import quant as quant_ops
+
+        assert not self.depthwise, "int8_resident supports dense OSA only"
+        identity_feat = x
+        if not isinstance(x, quant_ops.QTensor):
+            # one quantize serves both the chain input and the concat
+            # contribution; scale keyed by this module's path
+            scales = quant_ops.current_act_scales()
+            if scales is not None:
+                key = "/".join(self.path)
+                s_in = scales.get(key)
+                if s_in is None:
+                    raise ValueError(
+                        f"int8_resident: no calibrated input scale for OSA "
+                        f"{key!r} — re-run calibrate_act_scales"
+                    )
+            else:
+                s_in = jnp.maximum(
+                    jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-8
+                )
+            if self.is_mutable_collection("act_amax"):
+                self.sow(
+                    "act_amax",
+                    "amax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                )
+            x = quant_ops.requantize(x.astype(jnp.float32), s_in)
+        outputs = [x]
+        for i in range(self.layer_per_block):
+            x = ConvNorm(self.stage_ch, kernel_size=3, dtype=self.dtype,
+                         quant=True, resident=True, name=f"layer{i}")(x)
+            outputs.append(x)
+        x = quant_ops.qconcat(outputs)
+        x = ConvNorm(self.concat_ch, kernel_size=1, dtype=self.dtype,
+                     quant=True, resident=True, emit_float=True,
+                     name="concat")(x)
+        x = ESEModule(self.concat_ch, dtype=self.dtype, name="ese")(x)
+        if self.identity:
+            assert not isinstance(identity_feat, quant_ops.QTensor)
+            x = x + identity_feat
+        return x
+
 
 class VoVNet(nn.Module):
     """VoVNet backbone producing {'stage2'..'stage5'} NHWC feature maps."""
@@ -111,26 +164,41 @@ class VoVNet(nn.Module):
     # int8 MXU path for the dense 3x3/1x1 convs (depthwise convs and the eSE
     # gate stay in the compute dtype — they are VPU-bound / accuracy gates)
     quant: bool = False
+    # int8-RESIDENT: stem chain + OSA internals materialize as int8 between
+    # convs (QTensor flow; see layers.ConvNorm); stage outputs stay float at
+    # the eSE gates, so the FPN/heads are unchanged. Dense specs only.
+    resident: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         stem_chs, conv_chs, out_chs, layer_per_block, blocks, depthwise = (
             VOVNET_STAGE_SPECS[self.conv_body]
         )
+        if self.resident and depthwise:
+            raise ValueError(
+                "quantize='int8_resident' supports the dense VoVNet specs "
+                f"only (got {self.conv_body!r})"
+            )
         if self.dtype is not None:
             x = x.astype(self.dtype)
         # stem: stride-2, stride-1, stride-2 3x3 convs (vovnet.py:407-412);
         # dw variants use depthwise stem convs 2 and 3 (:408-411)
+        stem_q = self.resident
+        # the stem chain can stay int8-resident straight into stage2's OSA
+        # (no pool between, vovnet.py:349: stage2 does not downsample) —
+        # unless the caller wants the stem feature map itself
+        stem_emits_float = "stem" in self.out_features
         x = ConvNorm(stem_chs[0], stride=2, dtype=self.dtype,
-                     quant=self.quant, name="stem1")(x)
+                     quant=self.quant, resident=stem_q, name="stem1")(x)
         if depthwise:
             x = DWConvNorm(stem_chs[1], stride=1, dtype=self.dtype, name="stem2")(x)
             x = DWConvNorm(stem_chs[2], stride=2, dtype=self.dtype, name="stem3")(x)
         else:
             x = ConvNorm(stem_chs[1], stride=1, dtype=self.dtype,
-                         quant=self.quant, name="stem2")(x)
+                         quant=self.quant, resident=stem_q, name="stem2")(x)
             x = ConvNorm(stem_chs[2], stride=2, dtype=self.dtype,
-                         quant=self.quant, name="stem3")(x)
+                         quant=self.quant, resident=stem_q,
+                         emit_float=stem_emits_float, name="stem3")(x)
 
         outputs = {}
         if "stem" in self.out_features:
@@ -151,6 +219,7 @@ class VoVNet(nn.Module):
                     depthwise=depthwise,
                     dtype=self.dtype,
                     quant=self.quant,
+                    resident=self.resident,
                     name=f"{name}_block{b}",
                 )(x)
             if name in self.out_features:

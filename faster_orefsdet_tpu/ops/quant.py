@@ -32,12 +32,56 @@ elementwise pass, invisible next to the conv itself.
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, Mapping, Optional, Sequence, Tuple, Union
+from typing import Dict, Mapping, NamedTuple, Optional, Sequence, Tuple, Union
+
+import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
 
 _EPS = 1e-8
+
+
+class QTensor(NamedTuple):
+    """An int8-resident activation: `q * scale` approximates the real tensor.
+
+    `scale` is a positive scalar or per-channel [C] vector (last axis of q).
+    In static-calibrated serving it is a Python float / numpy constant, so it
+    bakes into the program; in dynamic (calibration) mode it is a traced
+    scalar. Flowing QTensors between convs is what keeps inter-conv HBM
+    traffic at 1 byte/element — the int8-RESIDENT mode of the module
+    docstring: the producer's epilogue writes int8, the consumer folds the
+    incoming scale into its own weights (see int8_conv_resident)."""
+
+    q: jnp.ndarray  # int8, channels-last
+    scale: Union[float, np.ndarray, jnp.ndarray]
+
+    @property
+    def channels(self) -> int:
+        return self.q.shape[-1]
+
+    def dequant(self, dtype=jnp.float32) -> jnp.ndarray:
+        s = jnp.asarray(self.scale, jnp.float32)
+        return (self.q.astype(jnp.float32) * s).astype(dtype)
+
+
+def qconcat(parts: Sequence[QTensor], axis: int = -1) -> QTensor:
+    """Concatenate int8-resident tensors along the channel axis.
+
+    Per-part scalar (or per-channel) scales become one per-channel scale
+    vector — no requantization pass: the consumer conv folds the vector into
+    its weights (int8_conv_resident), so mixing branch scales is free. This
+    is the OSA-concat enabler (the reference concatenates f32 feature maps,
+    vovnet.py:326-331; here the concatenated tensor materializes as int8)."""
+    assert axis in (-1, parts[0].q.ndim - 1), "qconcat is channels-last only"
+    q = jnp.concatenate([p.q for p in parts], axis=-1)
+    static = all(not isinstance(p.scale, jnp.ndarray) for p in parts)
+    xp = np if static else jnp
+    scales = [
+        xp.broadcast_to(xp.asarray(p.scale, xp.float32).reshape(-1), (p.channels,))
+        for p in parts
+    ]
+    return QTensor(q, xp.concatenate(scales))
 
 # Trace-time stack of {module_path: float_scale} dicts for static activation
 # quantization. Only consulted while a trace is being built (QuantConv reads
@@ -138,6 +182,60 @@ def int8_conv(
     y = y.astype(jnp.float32) * (sx * sw.reshape(1, 1, 1, -1))
     y = y.astype(out_dtype)
     return y[0] if squeeze else y
+
+
+def int8_conv_resident(
+    x: QTensor,
+    kernel: jnp.ndarray,
+    strides: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, str] = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 x int8 → int32 convolution over an int8-RESIDENT input.
+
+    The input's (scalar or per-input-channel) scale is folded into the float
+    weights BEFORE per-output-channel weight quantization — so a concat of
+    branches with different scales (qconcat) costs nothing at the conv: the
+    dot is a plain int8 MXU conv either way. Returns the raw int32
+    accumulator plus the per-output-channel dequant factor [O]; the caller
+    fuses its own epilogue (BN affine, relu, requant) on top — see
+    models.layers.ConvNorm resident path.
+
+    Numerics: conv(x.q, quant(kernel * s_in)) * s_w == conv(x_real, kernel)
+    up to weight-quantization rounding (same rounding class as int8_conv's).
+    """
+    s_in = jnp.asarray(x.scale, jnp.float32).reshape(-1)  # scalar -> [1]
+    w_eff = kernel.astype(jnp.float32) * s_in.reshape(1, 1, -1, 1)
+    wq, sw = quantize_symmetric(w_eff, axes=(0, 1, 2))  # sw [1,1,1,O]
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    xq = x.q
+    squeeze = xq.ndim == 3
+    if squeeze:
+        xq = xq[None]
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(
+        xq,
+        wq,
+        strides,
+        padding,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    if squeeze:
+        acc = acc[0]
+    return acc, sw.reshape(-1)
+
+
+def requantize(y: jnp.ndarray, scale) -> QTensor:
+    """float activations → int8-resident with the given (calibrated or
+    dynamic) scale: pure elementwise, fuses into the producing epilogue."""
+    q = (
+        jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / scale)), -127, 127)
+        .astype(jnp.int8)
+    )
+    return QTensor(q, scale)
 
 
 def int8_matmul(

@@ -38,9 +38,10 @@ def _variables(params, batch_stats):
 def _freeze_scales(cfg: Config, act_scales):
     """Normalize the calibrated-scale dict for lru_cache keys (hashable,
     order-independent) and validate it against cfg.quantize."""
-    if getattr(cfg, "quantize", "none") == "int8_static" and not act_scales:
+    qmode = getattr(cfg, "quantize", "none")
+    if qmode in ("int8_static", "int8_resident") and not act_scales:
         raise ValueError(
-            "quantize='int8_static' needs calibrated activation scales: pass "
+            f"quantize={qmode!r} needs calibrated activation scales: pass "
             "act_scales=pipelines.quant_calib.calibrate_act_scales(...)"
         )
     if act_scales is None:

@@ -1,4 +1,4 @@
-"""Batch-1 serving latency: bf16 vs int8-static A/B (VERDICT r4 #5).
+"""Batch-1 serving latency: bf16 vs int8-static vs int8-RESIDENT (VERDICT r4 #5).
 
 The single-image fast-preset program moves ~477 MB/dispatch at ~92% of the
 HBM pin (RESULTS.md round-3 latency section) — the traffic is weights +
@@ -64,6 +64,9 @@ def main():
     # speed-only calibration (program structure is scale-invariant)
     scales = calibrate_act_scales(cfg_int8, params, image[None].repeat(8, 0))
     print(f"[calib] {len(scales)} scales")
+    cfg_res = get_config("serving_vovnet_int8_resident")
+    rscales = calibrate_act_scales(cfg_res, params, image[None].repeat(8, 0))
+    print(f"[calib-resident] {len(rscales)} scales")
 
     def chained(model, cfg, n):
         def fn(params, cache, image, hw):
@@ -86,6 +89,9 @@ def main():
     for tag, cfg, ctx in (
         ("bf16", cfg_bf16, static_act_scales(None)),
         ("int8_static", cfg_int8, static_act_scales(scales)),
+        # round 5: int8-RESIDENT backbone — int8 materialization between
+        # convs (QTensor flow), the actual byte-reduction arm
+        ("int8_resident", cfg_res, static_act_scales(rscales)),
     ):
         model = make_detector(cfg)
         args = (params, cache, image, hw)

@@ -23,8 +23,14 @@ Outcomes and their readings:
   round-4 whole-path tie was masked by the non-backbone phases; re-run
   the whole-path A/B to requantify.
 
+Round 5 adds a THIRD arm, int8_resident (quantize='int8_resident'): the
+backbone that actually materializes int8 between convs (QTensor flow,
+scale-folded OSA concat — ops/quant.py). It is the constructive test of
+the dequant-wide hypothesis: if the path is HBM-bound and resident truly
+cuts bytes (cost analysis will say), resident must beat bf16 outright.
+
 Usage: python tools/roofline_ab.py [batch=128] [reps=10]
-Needs the TPU (compiles ~5 programs through the relay; run serially).
+Needs the TPU (compiles ~7 programs through the relay; run serially).
 
 Reference context: the reference serves torch f32 at 50 FPS
 (log/fsod_finetune_stone_vovnet_25_test_log.txt:813); this tool is part
@@ -78,6 +84,7 @@ def main():
 
     cfg_bf16 = get_config("serving_vovnet_fast")
     cfg_int8 = get_config("serving_vovnet_int8_static")
+    cfg_res = get_config("serving_vovnet_int8_resident")
     params = init_params(make_detector(cfg_bf16), cfg_bf16, jax.random.PRNGKey(0))
     params = cast_params(params)
 
@@ -87,11 +94,16 @@ def main():
     t0 = time.perf_counter()
     scales = calibrate_act_scales(cfg_int8, params, images[:8])
     print(f"[calib] {len(scales)} scales, {time.perf_counter()-t0:.0f}s")
+    # the resident mode has its own boundary set (OSA inputs + conv outputs)
+    t0 = time.perf_counter()
+    rscales = calibrate_act_scales(cfg_res, params, images[:8])
+    print(f"[calib-resident] {len(rscales)} scales, {time.perf_counter()-t0:.0f}s")
 
     results = {}
     for tag, cfg, ctx in (
         ("bf16", cfg_bf16, static_act_scales(None)),
         ("int8_static", cfg_int8, static_act_scales(scales)),
+        ("int8_resident", cfg_res, static_act_scales(rscales)),
     ):
         model = make_detector(cfg)
 
@@ -127,15 +139,19 @@ def main():
             flush=True,
         )
 
-    b, q = results["bf16"], results["int8_static"]
+    b = results["bf16"]
     print("\n[verdict inputs]")
-    print(f"  time  int8/bf16: {q[0]/b[0]:.3f}")
-    print(f"  bytes int8/bf16: {q[1]['hbm_mb']/max(b[1]['hbm_mb'],1e-9):.3f}")
-    print(f"  flops int8/bf16: {q[1]['gflops']/max(b[1]['gflops'],1e-9):.3f}")
+    for tag in ("int8_static", "int8_resident"):
+        q = results[tag]
+        print(f"  time  {tag}/bf16: {q[0]/b[0]:.3f}")
+        print(f"  bytes {tag}/bf16: {q[1]['hbm_mb']/max(b[1]['hbm_mb'],1e-9):.3f}")
+        print(f"  flops {tag}/bf16: {q[1]['gflops']/max(b[1]['gflops'],1e-9):.3f}")
     print(
-        "  reading: bytes~1+time~1 -> dequant keeps intermediates wide "
-        "(HBM-bound stands); bytes~0.5+time~1 -> NOT HBM-bound; "
-        "time<0.85 -> int8 wins on the backbone, re-run whole-path A/B"
+        "  reading: static bytes~1+time~1 -> dequant keeps intermediates "
+        "wide (HBM-bound stands). THEN: resident bytes<static AND resident "
+        "time < bf16 -> HBM-bound CONFIRMED and the resident preset is the "
+        "new fast backbone; resident bytes<static but time~bf16 -> the "
+        "phase is not byte-limited after all, occupancy story revives."
     )
 
 
