@@ -1,0 +1,117 @@
+"""CPU-decidable AP A/Bs on one trained model (round 5): int8-RESIDENT
+backbone vs int8_static vs float, AND the pre-NMS candidate-count lever.
+
+The resident mode (quantize="int8_resident") changes WHERE quantization
+happens (producer epilogue writes int8; the OSA concat is int8 with scales
+folded into the aggregation conv's weights) but keeps the same int8 grid
+per boundary as int8_static — so AP should be in the same class. The
+level_pre_nms_topk rows (1000→512→256) measure whether the fast preset's
+~1700-candidate decode+NMS set (VERDICT r4 weak #4) can be cut at zero AP
+cost — the complementary lever to the extended Pallas NMS kernel.
+
+Protocol: the synthetic round-2 protocol — one 800-iter training run, then
+the SAME trained params evaluated under each variant at the fast preset's
+post_nms=64 budget on a 512-image held-out val set (24-shot cache,
+eval-batch 32), quantized variants calibrated on 8 val canvases.
+
+CPU-RUNNABLE (self-pins CPU under JAX_PLATFORMS=cpu; ~1.5-2.5 h on the
+1-core box — run in background, write /tmp/pytest.pid so the relay
+supervisor defers the TPU queue while this hogs the core, CLAUDE.md).
+
+Usage: python tools/resident_ap_ab.py [iters=800] [n_val=512]
+Reference budget being held fixed: fsod_rpn.py:1199-1206 (kthvalue trim).
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import dataclasses
+import tempfile
+import time
+
+import jax
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize swallows the env var (CLAUDE.md gotcha)
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from _harness import eval_cache, train_synthetic_fsod
+
+
+def main():
+    iters = int(_sys.argv[1]) if len(_sys.argv) > 1 else 800
+    n_val = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
+
+    from faster_orefsdet_tpu.data.coco import load_coco_json
+    from faster_orefsdet_tpu.data.loader import eval_canvas, eval_loader
+    from faster_orefsdet_tpu.data.synthetic import generate_ore_dataset
+    from faster_orefsdet_tpu.pipelines.evaluate import evaluate
+    from faster_orefsdet_tpu.pipelines.quant_calib import calibrate_act_scales
+
+    vj, vi = generate_ore_dataset(
+        tempfile.mkdtemp(prefix="resident_ap_val_"), num_images=n_val, seed=97
+    )
+    val_records = load_coco_json(vj, vi)
+    print(f"val {len(val_records)} imgs", flush=True)
+
+    t0 = time.time()
+    run = train_synthetic_fsod(iters=iters, prefix="resident_ap_train_", seed=0,
+                               log_every=400)
+    cfg24, cache = eval_cache(run)
+    print(f"trained in {time.time()-t0:.0f}s", flush=True)
+
+    # everything held fixed except `quantize`: f32 compute (CPU host), the
+    # fast preset's post_nms=64 budget, same params/cache/val set
+    base = cfg24.replace(
+        centernet=dataclasses.replace(cfg24.centernet, post_nms_topk_test=64)
+    )
+
+    # calibration canvases: first 8 val images through the eval preprocessing
+    canvas_hw = eval_canvas(val_records, base)
+    canvases = []
+    for _, canvas, _, _ in eval_loader(val_records[:8], base, canvas_hw):
+        canvases.append(canvas)
+    calib = jnp.stack(canvases)
+
+    # two CPU-decidable axes on the same trained model:
+    #   quantize: none / int8_static / int8_resident  (resident AP-neutrality)
+    #   level_pre_nms_topk: 1000 / 512 / 256          (VERDICT r4 item 4's
+    #     candidate-count lever: the fast preset's ~1700 pre-NMS candidates
+    #     are 1000(p3,capped)+~560(p4)+~140(p5); 512 -> ~1200, 256 -> ~650)
+    variants = [
+        ("float", base),
+        ("int8_static", base.replace(quantize="int8_static")),
+        ("int8_resident", base.replace(quantize="int8_resident")),
+        ("prenms512", base.replace(
+            centernet=dataclasses.replace(base.centernet, level_pre_nms_topk=512))),
+        ("prenms256", base.replace(
+            centernet=dataclasses.replace(base.centernet, level_pre_nms_topk=256))),
+    ]
+    results = {}
+    for tag, ecfg in variants:
+        scales = None
+        if getattr(ecfg, "quantize", "none") != "none":
+            t0 = time.time()
+            scales = calibrate_act_scales(ecfg, run.state.params, calib)
+            print(f"[{tag}] {len(scales)} scales in {time.time()-t0:.0f}s",
+                  flush=True)
+        t0 = time.time()
+        res = evaluate(run.model, run.state.params, cache, val_records, ecfg,
+                       batch_stats=run.state.batch_stats, batch_size=32,
+                       act_scales=scales)
+        ap = {k: round(v, 3) for k, v in res.items() if k.startswith("AP")}
+        results[tag] = res["AP"]
+        print(f"[{tag}] {ap} ({time.time()-t0:.0f}s)", flush=True)
+
+    print("\n==== summary (AP, post_nms=64, 24-shot, f32 host compute) ====")
+    for tag, ap in results.items():
+        print(f"{tag:14s} AP {ap:.2f}  (delta vs float: {ap-results['float']:+.2f})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,10 +52,13 @@ run ablation 10800 python tools/ablation_seeds.py 800 1060
 if [ "$FASTOK" = 1 ]; then
   run bench 3600 python bench.py
   run phases 3600 python tools/serving_profile.py 128 10 bf16 --preset serving_vovnet_fast --phases
+  # round-5 int8-RESIDENT whole-path serving row (the byte-reduction arm;
+  # preset derives from the fast preset, so it shares the Pallas-NMS gate)
+  run resident_serv 3600 python tools/serving_profile.py 128 10 bf16 --preset serving_vovnet_int8_resident
 else
   run bench 3600 env BENCH_FAST=0 python bench.py
 fi
 
 run roofline 2400 python tools/roofline_ab.py 128 10
-run batch1 2400 python tools/batch1_ab.py 100
+run batch1 3600 env BATCH1_PINNED=1 python tools/batch1_ab.py 100
 note "ALL DONE"

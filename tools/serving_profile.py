@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 import jax
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize swallows the env var (CLAUDE.md gotcha);
+    # honor it in-process so CPU smokes don't touch the TPU relay
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from faster_orefsdet_tpu.config import get_config
@@ -76,6 +81,22 @@ def main():
     params_f32 = init_params(model, cfg, jax.random.PRNGKey(0))
     c = cfg.fpn.out_channels
     rng = np.random.default_rng(0)
+    if getattr(cfg, "quantize", "none") in ("int8_static", "int8_resident"):
+        # speed-only calibration (program structure is scale-invariant);
+        # the context must be live for every trace below, so enter it for
+        # the rest of the process
+        import contextlib
+
+        from faster_orefsdet_tpu.ops.quant import static_act_scales
+        from faster_orefsdet_tpu.pipelines.quant_calib import calibrate_act_scales
+
+        calib = jnp.asarray(
+            rng.standard_normal((8, 320, 448, 3), dtype=np.float32)
+        )
+        scales = calibrate_act_scales(cfg, params_f32, calib)
+        print(f"[calib] {len(scales)} static scales ({cfg.quantize})")
+        _stack = contextlib.ExitStack()
+        _stack.enter_context(static_act_scales(scales))
     cache = SupportCache(
         p3=jnp.asarray(rng.standard_normal((32, 32, c), dtype=np.float32)),
         p4=jnp.asarray(rng.standard_normal((16, 16, c), dtype=np.float32)),
