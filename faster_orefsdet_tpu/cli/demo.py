@@ -361,6 +361,7 @@ def main():
                 [h[0] for h in hms], [r[0] for r in regs], cfg.centernet,
                 (canvas.shape[0], canvas.shape[1]),
                 jnp.asarray([float(newh), float(neww)]), training=False,
+                nms_budget=cfg.static.nms_budget_test,
             )
             stem = os.path.splitext(os.path.basename(path))[0]
             debug_test(

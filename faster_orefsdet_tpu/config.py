@@ -196,14 +196,17 @@ class StaticShapeConfig:
     candidate counts with masked fixed-K tensors, SURVEY.md §7 hard parts)."""
 
     max_gt_per_image: int = 100
-    # NMS working-set cap at test time (candidates entering suppression).
+    # NMS working-set cap at test time (candidates entering suppression),
+    # threaded into decode_proposals by the inference builders (round 5 —
+    # previously decode hardcoded 1024 and this knob was silently dead).
     # Measured on v5e: 2048 -> 894 img/s, 1024 -> 934, 512 -> 950 pure
     # compute; 1024 keeps a comfortable margin over the 256 post-NMS keep.
+    # (The per-level pre-concat cap is CenterNetConfig.pre_nms_topk_test.)
     nms_budget_test: int = 1024
-    # Per-level candidate cap before cross-level concat (test path).
-    level_pre_nms_topk: int = 1000
     train_canvas: Tuple[int, ...] = (448,)  # square train canvas buckets
-    test_canvas: Tuple[int, int] = (320, 448)  # (short, long) padded canvas
+    # (the test canvas is DERIVED from the eval records — data/loader.py
+    # eval_canvas — not configured; a test_canvas knob here was dead and
+    # was removed in round 5)
 
 
 @dataclass(frozen=True)

@@ -154,7 +154,8 @@ def eval_loader(
             nh, nw = resize_shortest_edge_size(
                 img.shape[0], img.shape[1], cfg.input.min_size_test, cfg.input.max_size_test
             )
-            chw = (-(-nh // 32) * 32, -(-nw // 32) * 32)
+            d = cfg.input.size_divisibility
+            chw = (-(-nh // d) * d, -(-nw // d) * d)
         else:
             chw = canvas_hw
         if raw_uint8:
@@ -188,22 +189,24 @@ def train_canvas(records: Sequence[ImageRecord], cfg: Config) -> Tuple[int, int]
     deriving the canvas from the records can shrink the padded area (and
     device FLOPs per step) severalfold. Orientation is still chosen per
     image; the loader groups batches by canvas shape."""
-    ms, ml = 32, 32
+    d = cfg.input.size_divisibility
+    ms, ml = d, d
     for rec in records:
         for short in cfg.input.min_size_train:
             nh, nw = resize_shortest_edge_size(
                 rec.height, rec.width, short, cfg.input.max_size_train
             )
             ms, ml = max(ms, min(nh, nw)), max(ml, max(nh, nw))
-    return (-(-ms // 32) * 32, -(-ml // 32) * 32)
+    return (-(-ms // d) * d, -(-ml // d) * d)
 
 
 def eval_canvas(records: Sequence[ImageRecord], cfg: Config) -> Tuple[int, int]:
     """One canvas covering every eval image at test scale (single jit cache)."""
-    mh = mw = 32
+    d = cfg.input.size_divisibility
+    mh = mw = d
     for rec in records:
         nh, nw = resize_shortest_edge_size(
             rec.height, rec.width, cfg.input.min_size_test, cfg.input.max_size_test
         )
         mh, mw = max(mh, nh), max(mw, nw)
-    return (-(-mh // 32) * 32, -(-mw // 32) * 32)
+    return (-(-mh // d) * d, -(-mw // d) * d)

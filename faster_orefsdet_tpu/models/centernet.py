@@ -76,8 +76,9 @@ def decode_proposals(
     post_topk = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
     nms_th = cfg.nms_thresh_train if training else cfg.nms_thresh_test
     if nms_budget is None:
-        # training needs the full post-NMS keep capacity; test uses the tuned
-        # cap (config.StaticShapeConfig.nms_budget_test via callers)
+        # training needs the full post-NMS keep capacity; the inference
+        # builders pass config.StaticShapeConfig.nms_budget_test explicitly
+        # (round 5); 1024 remains the fallback for direct test-path calls
         nms_budget = max(2048, post_topk) if training else 1024
 
     shapes = level_grid_shapes(canvas_hw, strides)

@@ -26,6 +26,17 @@ from .support_cache import SupportCache
 
 
 def make_detector(cfg: Config) -> CenterNet2Detector:
+    """Meta-architecture factory (reference: META_ARCHITECTURE registry,
+    fsod_train_net.py yamls). This config family builds CenterNet2Detector;
+    the AttentionRPN/FsodRCNN baseline lives behind its own config type
+    (pipelines.attention_rpn.BaselineConfig + build_fsod_rcnn)."""
+    name = getattr(cfg, "model_name", "CenterNet2Detector")
+    if name != "CenterNet2Detector":
+        raise ValueError(
+            f"model_name={name!r}: this Config family builds "
+            "'CenterNet2Detector' only; the FsodRCNN baseline uses "
+            "pipelines.attention_rpn.BaselineConfig"
+        )
     return CenterNet2Detector(cfg)
 
 
@@ -96,7 +107,8 @@ def query_path_single(
     bbox_regs = [r[0] for r in bbox_regs]
 
     proposals = decode_proposals(
-        agn_hms, bbox_regs, cfg.centernet, canvas_hw, image_hw, training=False
+        agn_hms, bbox_regs, cfg.centernet, canvas_hw, image_hw, training=False,
+        nms_budget=cfg.static.nms_budget_test,
     )
 
     # cascade (1 stage live); stage k>0 re-pools on the previous stage's
@@ -163,6 +175,7 @@ def query_path_multiclass(
         proposals = decode_proposals(
             [h[0] for h in agn_hms], [r[0] for r in bbox_regs],
             cfg.centernet, canvas_hw, image_hw, training=False,
+            nms_budget=cfg.static.nms_budget_test,
         )
         boxes = proposals.boxes
         stage_outputs = []

@@ -63,3 +63,44 @@ def test_budget_1024_matches_unbudgeted_decode(seed):
     np.testing.assert_allclose(
         np.asarray(budgeted.boxes)[vb], np.asarray(unbudgeted.boxes)[vu], atol=1e-4
     )
+
+
+def test_budget_knob_reaches_inference_path(monkeypatch):
+    """config.StaticShapeConfig.nms_budget_test must actually reach
+    decode_proposals through the inference builders (round 5: it was a
+    silently-dead knob — decode hardcoded 1024)."""
+    import dataclasses
+
+    import jax
+
+    from faster_orefsdet_tpu.pipelines import inference as inf
+    from faster_orefsdet_tpu.pipelines.inference import (
+        make_detector, query_path_single,
+    )
+    from faster_orefsdet_tpu.pipelines.support_cache import SupportCache
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("finetune_vovnet")
+    cfg = cfg.replace(static=dataclasses.replace(cfg.static, nms_budget_test=640))
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    c = cfg.fpn.out_channels
+    cache = SupportCache(
+        p3=jnp.asarray(rng.standard_normal((32, 32, c), np.float32)),
+        p4=jnp.asarray(rng.standard_normal((16, 16, c), np.float32)),
+        p5=jnp.asarray(rng.standard_normal((8, 8, c), np.float32)),
+        rcnn_8=jnp.asarray(rng.standard_normal((8, 8, c), np.float32)),
+        rcnn_4=jnp.asarray(rng.standard_normal((4, 4, c), np.float32)),
+    )
+    seen = {}
+    real = inf.decode_proposals
+
+    def spy(*args, **kwargs):
+        seen["nms_budget"] = kwargs.get("nms_budget")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(inf, "decode_proposals", spy)
+    image = jnp.asarray(rng.standard_normal((96, 128, 3), np.float32))
+    query_path_single(model, params, cache, image, jnp.asarray([96.0, 120.0]), cfg)
+    assert seen["nms_budget"] == 640

@@ -188,6 +188,51 @@ def test_resident_calibration_covers_all_boundaries():
         assert _cos(f[level], ref[level]) > 0.97, level
 
 
+def test_resident_pinned_deployment_path():
+    """The deployment shape: build_pinned_inference_fn with the resident
+    preset (scales as compile-time captures) must produce exactly the
+    unpinned build_inference_fn's detections."""
+    from faster_orefsdet_tpu.config import get_config
+    from faster_orefsdet_tpu.pipelines.inference import (
+        build_inference_fn, build_pinned_inference_fn, make_detector,
+    )
+    from faster_orefsdet_tpu.pipelines.quant_calib import calibrate_act_scales
+    from faster_orefsdet_tpu.pipelines.support_cache import SupportCache
+    from faster_orefsdet_tpu.utils.params import init_params
+
+    cfg = get_config("serving_vovnet_int8_resident").replace(
+        compute_dtype="float32"
+    )
+    model = make_detector(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    c = cfg.fpn.out_channels
+    cache = SupportCache(
+        p3=jnp.asarray(rng.standard_normal((32, 32, c), np.float32)),
+        p4=jnp.asarray(rng.standard_normal((16, 16, c), np.float32)),
+        p5=jnp.asarray(rng.standard_normal((8, 8, c), np.float32)),
+        rcnn_8=jnp.asarray(rng.standard_normal((8, 8, c), np.float32)),
+        rcnn_4=jnp.asarray(rng.standard_normal((4, 4, c), np.float32)),
+    )
+    image = jnp.asarray(rng.standard_normal((96, 128, 3), np.float32))
+    hw = jnp.asarray([96.0, 120.0])
+    scales = calibrate_act_scales(cfg, params, image[None])
+
+    infer = build_inference_fn(cfg, model, act_scales=scales)
+    ref = infer(params, cache, image, hw, None)
+    pinned = build_pinned_inference_fn(cfg, params, cache, model, act_scales=scales)
+    got = pinned(image, hw)
+    # pinning lets XLA constant-fold the weight quantization at compile
+    # time — same math, different op order, so ~1e-7 relative noise
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+
+
 def test_resident_reduces_bytes_vs_static():
     """The point of the mode: XLA cost analysis of the jitted backbone must
     show strictly fewer bytes accessed than the int8_static build (which

@@ -5,9 +5,9 @@ The resident mode (quantize="int8_resident") changes WHERE quantization
 happens (producer epilogue writes int8; the OSA concat is int8 with scales
 folded into the aggregation conv's weights) but keeps the same int8 grid
 per boundary as int8_static — so AP should be in the same class. The
-level_pre_nms_topk rows (1000→512→256) measure whether the fast preset's
-~1700-candidate decode+NMS set (VERDICT r4 weak #4) can be cut at zero AP
-cost — the complementary lever to the extended Pallas NMS kernel.
+pre_nms_topk_test rows (1000→512→256) and nms_budget_test row (1024→512)
+measure whether the decode+NMS candidate set (VERDICT r4 weak #4) can be
+cut at zero AP cost — the complementary lever to the Pallas NMS kernel.
 
 Protocol: the synthetic round-2 protocol — one 800-iter training run, then
 the SAME trained params evaluated under each variant at the fast preset's
@@ -79,17 +79,20 @@ def main():
 
     # two CPU-decidable axes on the same trained model:
     #   quantize: none / int8_static / int8_resident  (resident AP-neutrality)
-    #   level_pre_nms_topk: 1000 / 512 / 256          (VERDICT r4 item 4's
-    #     candidate-count lever: the fast preset's ~1700 pre-NMS candidates
-    #     are 1000(p3,capped)+~560(p4)+~140(p5); 512 -> ~1200, 256 -> ~650)
+    #   decode candidate budgets (VERDICT r4 item 4's candidate-count lever):
+    #     pre_nms_topk_test 1000 -> 512/256 (per-level top-k cap; the fast
+    #       canvas's concat is 1000(p3,capped)+~560(p4)+~140(p5))
+    #     static.nms_budget_test 1024 -> 512 (the set entering suppression)
     variants = [
         ("float", base),
         ("int8_static", base.replace(quantize="int8_static")),
         ("int8_resident", base.replace(quantize="int8_resident")),
         ("prenms512", base.replace(
-            centernet=dataclasses.replace(base.centernet, level_pre_nms_topk=512))),
+            centernet=dataclasses.replace(base.centernet, pre_nms_topk_test=512))),
         ("prenms256", base.replace(
-            centernet=dataclasses.replace(base.centernet, level_pre_nms_topk=256))),
+            centernet=dataclasses.replace(base.centernet, pre_nms_topk_test=256))),
+        ("budget512", base.replace(
+            static=dataclasses.replace(base.static, nms_budget_test=512))),
     ]
     results = {}
     for tag, ecfg in variants:

@@ -183,7 +183,8 @@ def main():
         )(params, feats)
         props = jax.vmap(
             lambda h3, h4, h5, r3, r4, r5, hw: decode_proposals(
-                [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas, hw, training=False
+                [h3, h4, h5], [r3, r4, r5], cfg.centernet, canvas, hw,
+                training=False, nms_budget=cfg.static.nms_budget_test,
             )
         )(agn_hms[0], agn_hms[1], agn_hms[2],
           bbox_regs[0], bbox_regs[1], bbox_regs[2], hws)
@@ -239,7 +240,8 @@ def main():
             "decode+nms",
             lambda c_, h3, h4, h5, r3, r4, r5: jnp.sum(jax.vmap(
                 lambda a, b, cc, d, e, f_, hw: decode_proposals(
-                    [a, b, cc], [d, e, f_], cfg.centernet, canvas, hw, training=False
+                    [a, b, cc], [d, e, f_], cfg.centernet, canvas, hw,
+                    training=False, nms_budget=cfg.static.nms_budget_test,
                 ).scores
             )(h3 + c_, h4, h5, r3, r4, r5, hws)) * 1e-12,
             agn_hms[0], agn_hms[1], agn_hms[2],
