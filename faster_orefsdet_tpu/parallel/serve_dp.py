@@ -37,6 +37,7 @@ def make_sharded_serving(
     cache: SupportCache,
     model: Optional[CenterNet2Detector] = None,
     batch_stats=None,
+    act_scales=None,
 ):
     """Returns (serve_fn, canvas_hw).
 
@@ -47,8 +48,12 @@ def make_sharded_serving(
     Params / support cache / BN stats are device_put replicated ONCE here;
     each call only ships the raw frames (uint8 keeps host→device traffic 4x
     down, as on the single-chip path).
+
+    act_scales: calibrated static scales (pipelines.quant_calib) — required
+    for the int8_static / int8_resident presets, same as the single-chip
+    builders (quantization is per-image pure, so DP sharding is unaffected).
     """
-    fn, canvas_hw = build_serving_fn(cfg, input_hw, model)
+    fn, canvas_hw = build_serving_fn(cfg, input_hw, model, act_scales=act_scales)
     n_dev = mesh.devices.size
     batch_sharding = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())

@@ -94,3 +94,38 @@ def test_sharded_serving_rejects_indivisible_batch():
     serve, _ = make_sharded_serving(cfg, (120, 160), mesh, params, cache, model=model)
     with pytest.raises(ValueError, match="not divisible"):
         serve(jnp.zeros((3, 120, 160, 3), jnp.uint8))
+
+
+def test_sharded_serving_resident_preset():
+    """int8_resident serves data-parallel: act_scales thread through
+    make_sharded_serving (round 5) and the sharded program matches the
+    single-device resident program."""
+    from faster_orefsdet_tpu.parallel import make_mesh, make_sharded_serving
+    from faster_orefsdet_tpu.pipelines.inference import build_serving_fn, make_detector
+    from faster_orefsdet_tpu.pipelines.quant_calib import calibrate_act_scales
+
+    cfg = _tiny_cfg().replace(quantize="int8_resident")
+    model, params, cache = _params_and_cache(cfg)
+    mesh = make_mesh(8)
+
+    rng = np.random.default_rng(3)
+    calib = jnp.asarray(
+        rng.standard_normal((2, 96, 128, 3)).astype(np.float32)
+    )
+    scales = calibrate_act_scales(cfg, params, calib, model=model)
+
+    input_hw = (120, 160)
+    serve, _ = make_sharded_serving(
+        cfg, input_hw, mesh, params, cache, model=model, act_scales=scales
+    )
+    raw = rng.integers(0, 256, (8, *input_hw, 3), dtype=np.uint8)
+    det_dp = serve(jnp.asarray(raw))
+
+    single_fn, _ = build_serving_fn(cfg, input_hw, model, act_scales=scales)
+    det_1 = single_fn(params, cache, jnp.asarray(raw))
+
+    np.testing.assert_array_equal(np.asarray(det_dp.valid), np.asarray(det_1.valid))
+    v = np.asarray(det_dp.valid)
+    np.testing.assert_allclose(
+        np.asarray(det_dp.boxes)[v], np.asarray(det_1.boxes)[v], rtol=0, atol=1e-3
+    )
