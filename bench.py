@@ -216,10 +216,12 @@ def main():
                 make_detector(fcfg), fcfg, params, cache, fimages, fhws, rtt, reps=freps
             )
         except Exception as e:  # noqa: BLE001
-            # round-5 routes the decode NMS (K~1700) through the extended
-            # Pallas kernel; if THIS backend rejects the padded kernel
-            # (e.g. VMEM pressure), degrade to the XLA-fixpoint NMS rather
-            # than redden the whole round artifact
+            # round-5's padded Pallas kernel newly covers the fast preset's
+            # non-multiple-of-256 NMS sizes (the 64-box ROI final NMS; the
+            # decode NMS runs at the 1024 budget and was already covered);
+            # if THIS backend rejects the padded kernel (e.g. VMEM
+            # pressure), degrade to the XLA-fixpoint NMS rather than
+            # redden the whole round artifact
             import dataclasses
 
             fcfg = fcfg.replace(

@@ -95,6 +95,14 @@ def main():
             "--parallel (AsyncPredictor, single-device pinned program) and "
             "--num-devices > 1 (DP serving) are mutually exclusive"
         )
+    if args.num_devices > 1 and not (
+        (args.video_input or args.webcam) and args.frame_batch > 1
+    ):
+        raise SystemExit(
+            "--num-devices > 1 is DP video serving and requires "
+            "--video-input/--webcam with --frame-batch > 1 (the image-glob "
+            "and per-frame paths are single-device)"
+        )
     if args.parallel and (args.video_input or args.webcam) and args.frame_batch > 1:
         raise SystemExit(
             "--parallel drives per-frame video only: pass --frame-batch 1 "
@@ -134,7 +142,8 @@ def main():
         rh, rw = resize_shortest_edge_size(
             nh, nw, cfg.input.min_size_test, cfg.input.max_size_test
         )
-        canvas_hw = (-(-rh // 32) * 32, -(-rw // 32) * 32)
+        d = cfg.input.size_divisibility
+        canvas_hw = (-(-rh // d) * d, -(-rw // d) * d)
         canvas, (newh, neww), (sy, sx) = preprocess_host(
             img, cfg.input.min_size_test, cfg.input.max_size_test, canvas_hw,
             cfg.input.pixel_mean, cfg.input.pixel_std,

@@ -69,7 +69,8 @@ def main():
     rh, rw = resize_shortest_edge_size(
         img.shape[0], img.shape[1], cfg.input.min_size_test, cfg.input.max_size_test
     )
-    canvas_hw = (-(-rh // 32) * 32, -(-rw // 32) * 32)
+    d = cfg.input.size_divisibility
+    canvas_hw = (-(-rh // d) * d, -(-rw // d) * d)
     canvas, _, _ = preprocess_host(
         img, cfg.input.min_size_test, cfg.input.max_size_test, canvas_hw,
         cfg.input.pixel_mean, cfg.input.pixel_std,

@@ -158,8 +158,21 @@ class InputConfig:
     # detectron2 ImageNet BGR pixel stats (detectron2.7z!config/defaults.py)
     pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Canvas divisibility for every QUERY canvas (loader, serving, demo,
+    # AsyncPredictor; round 5 — was a dead knob). Must be a positive
+    # multiple of 32: the FPN's deepest level is stride 32, so smaller
+    # values break the feature-pyramid shape contract. (The 240→256
+    # support-crop canvas is a fixed architecture contract, not governed
+    # by this knob.)
     size_divisibility: int = 32
     random_flip: bool = True
+
+    def __post_init__(self):
+        if self.size_divisibility < 32 or self.size_divisibility % 32:
+            raise ValueError(
+                f"size_divisibility={self.size_divisibility}: must be a "
+                "positive multiple of 32 (FPN stride contract)"
+            )
 
 
 @dataclass(frozen=True)

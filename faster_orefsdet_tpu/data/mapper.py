@@ -168,7 +168,8 @@ class EpisodicMapper:
             # Callers with known aspect bounds should pass a tighter canvas.
             short = max(inp.min_size_train) if is_train else inp.min_size_test
             long = inp.max_size_train if is_train else inp.max_size_test
-            canvas_hw = (-(-short // 32) * 32, -(-long // 32) * 32)
+            d = inp.size_divisibility
+            canvas_hw = (-(-short // d) * d, -(-long // d) * d)
         self.canvas_hw = canvas_hw
         cs = cfg.fs.support_crop_size
         self.support_canvas = (-(-cs // 32) * 32, -(-cs // 32) * 32)  # 240→256

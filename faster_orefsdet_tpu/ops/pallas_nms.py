@@ -232,9 +232,14 @@ def batched_nms_mask_pallas(
 def supported(k: int) -> bool:
     """Kernel applicability: any K <= _MAX_K (=1792). The wrapper pads K up
     to a multiple of 256, so there is no divisibility cliff (pre-round-5 the
-    gate also required K % 256 == 0, which dropped the fast preset's ~1700
-    pre-NMS candidate set to the XLA fixpoint). At the cap the two [K,K]
-    int8 scratches are 6.125 MiB and the build/reduce loops run 128-row
-    chunks ([128, K] f32 transients, 0.875 MiB each) — together a bounded
-    slice of the ~16 MB/core VMEM budget."""
+    gate also required K % 256 == 0, which dropped every non-multiple K to
+    the XLA fixpoint — e.g. the fast preset's 64-box ROI final NMS and any
+    small-canvas decode set. NOTE the decode-stage NMS at the standard
+    320x448 canvas runs at the nms_budget_test=1024 working set — a
+    multiple, so it has been kernel-covered since round 2; the ~1700 figure
+    sometimes quoted for it is the PRE-budget candidate count, trimmed by
+    top-k before NMS, models/centernet.py:112-117). At the cap the two
+    [K,K] int8 scratches are 6.125 MiB and the build/reduce loops run
+    128-row chunks ([128, K] f32 transients, 0.875 MiB each) — together a
+    bounded slice of the ~16 MB/core VMEM budget."""
     return 0 < k <= _MAX_K

@@ -230,12 +230,9 @@ def int8_conv_resident(
 
 def requantize(y: jnp.ndarray, scale) -> QTensor:
     """float activations → int8-resident with the given (calibrated or
-    dynamic) scale: pure elementwise, fuses into the producing epilogue."""
-    q = (
-        jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / scale)), -127, 127)
-        .astype(jnp.int8)
-    )
-    return QTensor(q, scale)
+    dynamic) scale: pure elementwise, fuses into the producing epilogue.
+    Same int8 grid as quantize_static by construction (it IS the call)."""
+    return QTensor(quantize_static(y, scale), scale)
 
 
 def int8_matmul(

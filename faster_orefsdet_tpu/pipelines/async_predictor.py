@@ -67,7 +67,8 @@ class AsyncPredictor:
                 img.shape[0], img.shape[1], cfg.input.min_size_test,
                 cfg.input.max_size_test,
             )
-            canvas_hw = (-(-rh // 32) * 32, -(-rw // 32) * 32)
+            d = cfg.input.size_divisibility
+            canvas_hw = (-(-rh // d) * d, -(-rw // d) * d)
         else:
             canvas_hw = self.canvas_hw
         canvas, (nh, nw), scale = preprocess_host(

@@ -331,7 +331,7 @@ def build_pinned_inference_fn(
     deployment shape, detectron2.7z!engine/defaults.py:255-322); rebuild
     after any param update.
 
-    packed=True returns pack_detections(det) ([K,6] f32) instead of the
+    packed=True returns pack_detections(det) ([K,7] f32) instead of the
     Detections pytree — one readback per served result.
 
     UNLIKE build_inference_fn there is no lru_cache: the weights are baked
@@ -421,7 +421,8 @@ def build_serving_fn(
     rh, rw = resize_shortest_edge_size(
         h0, w0, cfg.input.min_size_test, cfg.input.max_size_test
     )
-    canvas_hw = (-(-rh // 32) * 32, -(-rw // 32) * 32)
+    d = cfg.input.size_divisibility
+    canvas_hw = (-(-rh // d) * d, -(-rw // d) * d)
     sy, sx = h0 / rh, w0 / rw
     hw = jnp.asarray([float(rh), float(rw)])
     scale_vec = jnp.asarray([sx, sy, sx, sy], jnp.float32)

@@ -84,13 +84,20 @@ def preprocess_host(
     return canvas, (newh, neww), (h / newh, w / neww)
 
 
-def canvas_for(newh: int, neww: int, buckets: Sequence[Tuple[int, int]] | None = None):
-    """Pick the smallest bucket fitting (newh, neww); fall back to ceil-32."""
+def ceil_to(x: int, d: int = 32) -> int:
+    """Round up to the canvas divisibility (cfg.input.size_divisibility;
+    32 = the FPN stride contract and the d2 default)."""
+    return -(-x // d) * d
+
+
+def canvas_for(newh: int, neww: int, buckets: Sequence[Tuple[int, int]] | None = None,
+               divisibility: int = 32):
+    """Pick the smallest bucket fitting (newh, neww); fall back to ceil-div."""
     if buckets:
         for bh, bw in buckets:
             if newh <= bh and neww <= bw:
                 return (bh, bw)
-    return (-(-newh // 32) * 32, -(-neww // 32) * 32)
+    return (ceil_to(newh, divisibility), ceil_to(neww, divisibility))
 
 
 # ------------------------------------------------------------- device path

@@ -260,3 +260,25 @@ def test_demo_cli_parallel_glob(tmp_path, monkeypatch):
     main()
     rendered = glob.glob(os.path.join(out, "*.jpg"))
     assert len(rendered) == 3, rendered
+
+
+def test_demo_cli_num_devices_requires_dp_video(monkeypatch):
+    """--num-devices > 1 outside the DP video path (image glob, or video at
+    --frame-batch 1) must fail loudly, not silently run single-device."""
+    from faster_orefsdet_tpu.cli.demo import main
+
+    argv = [
+        "demo", "--input", "x/*.png", "--output", "o", "--support-index",
+        "i.json", "--num-devices", "4",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit, match="DP video serving"):
+        main()
+
+    argv = [
+        "demo", "--video-input", "c.avi", "--output", "o", "--support-index",
+        "i.json", "--num-devices", "4", "--frame-batch", "1",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit, match="DP video serving"):
+        main()

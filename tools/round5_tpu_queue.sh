@@ -32,20 +32,28 @@ run() { # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
   gate "$name"
   # never let a step run past the deadline (the driver's own bench needs
-  # the box quiet at round end)
+  # the box quiet at round end); left<=0 must STOP, not become 'timeout 0'
+  # (GNU timeout 0 = unbounded)
   local left=$((DEADLINE - $(date +%s)))
+  if [ "$left" -le 0 ]; then note "no time left before $name — stop"; exit 0; fi
   [ "$to" -gt "$left" ] && to=$left
   note "START $name (cap ${to}s)"
   timeout "$to" "$@" > "$LOG/$name.log" 2>&1
   note "END $name rc=$?"
 }
 
-run nms1700 1800 python tools/nms_bench.py 1700 20
-if grep -q "agree: True" $LOG/nms1700.log; then
-  FASTOK=1; note "pallas NMS @1700 compiled-mode AGREES"
+# Gate on the sizes the fast preset actually RUNS (premise audit, round 5):
+# decode NMS at the nms_budget_test=1024 working set (kernel-covered since
+# round 2) and the 64-box ROI final NMS (newly covered by the padded
+# wrapper). K=1792 validates the extension's cap, non-gating.
+run nms1024 1800 python tools/nms_bench.py 1024 20
+run nms64 900 python tools/nms_bench.py 64 20
+if grep -q "agree: True" $LOG/nms1024.log && grep -q "agree: True" $LOG/nms64.log; then
+  FASTOK=1; note "pallas NMS @1024+@64 compiled-mode AGREE"
 else
-  FASTOK=0; note "pallas NMS @1700 FAILED compiled-mode — fast rows skipped"
+  FASTOK=0; note "pallas NMS live-size validation FAILED — fast rows skipped"
 fi
+run nms1792 900 python tools/nms_bench.py 1792 10
 
 run ablation 10800 python tools/ablation_seeds.py 800 1060
 
