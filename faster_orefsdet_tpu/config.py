@@ -373,6 +373,27 @@ def serving_vovnet_int8_static() -> Config:
     return serving_vovnet_fast().replace(quantize="int8_static")
 
 
+def serving_vovnet_turbo() -> Config:
+    """serving_vovnet_fast + halved decode candidate budgets (round 5):
+    pre_nms_topk_test 1000→256 (per-level top-k; p3's cap dominates the
+    decode top-k cost) and nms_budget_test 1024→512 (the suppression
+    working set). Both measured AP-NEUTRAL on the synthetic 512-image
+    protocol against the SAME trained model (tools/resident_ap_ab.py,
+    RESULTS.md round 5: deltas <0.005 AP) — the final detections come from
+    the top-64 ROI boxes, which deep-tail candidates essentially never
+    displace. TPU speed A/B vs the fast preset is staged in the round-5
+    queue; AP-neutrality should be re-checked on real ore data before
+    production (same caveat as the fast preset). Reference budgets being
+    cut: fsod_rpn.py:1157-1210 (per-level topk 1000 + full-set NMS)."""
+    import dataclasses as _dc
+
+    cfg = serving_vovnet_fast()
+    return cfg.replace(
+        centernet=_dc.replace(cfg.centernet, pre_nms_topk_test=256),
+        static=_dc.replace(cfg.static, nms_budget_test=512),
+    )
+
+
 def serving_vovnet_int8_resident() -> Config:
     """serving_vovnet_fast + int8-RESIDENT backbone (round 5): the VoVNet
     stem/OSA conv chains flow int8 tensors end-to-end — each conv's epilogue
@@ -396,6 +417,7 @@ _NAMED_CONFIGS = {
     "serving_vovnet_int8": serving_vovnet_int8,
     "serving_vovnet_int8_static": serving_vovnet_int8_static,
     "serving_vovnet_int8_resident": serving_vovnet_int8_resident,
+    "serving_vovnet_turbo": serving_vovnet_turbo,
     "finetune_vovnet_25shot": finetune_vovnet_25shot,
     "finetune_vovnet_5shot": lambda: finetune_vovnet_kshot(5),
     "finetune_vovnet_15shot": lambda: finetune_vovnet_kshot(15),

@@ -104,3 +104,14 @@ def test_budget_knob_reaches_inference_path(monkeypatch):
     image = jnp.asarray(rng.standard_normal((96, 128, 3), np.float32))
     query_path_single(model, params, cache, image, jnp.asarray([96.0, 120.0]), cfg)
     assert seen["nms_budget"] == 640
+
+
+def test_turbo_preset_budgets():
+    """serving_vovnet_turbo: halved decode budgets on top of the fast preset
+    (AP-neutral on the round-5 CPU protocol, RESULTS.md)."""
+    turbo = get_config("serving_vovnet_turbo")
+    fast = get_config("serving_vovnet_fast")
+    assert turbo.centernet.pre_nms_topk_test == 256
+    assert turbo.static.nms_budget_test == 512
+    assert turbo.centernet.post_nms_topk_test == fast.centernet.post_nms_topk_test == 64
+    assert turbo.quantize == "none" and turbo.compute_dtype == "bfloat16"

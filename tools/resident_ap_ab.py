@@ -12,7 +12,11 @@ cut at zero AP cost — the complementary lever to the Pallas NMS kernel.
 Protocol: the synthetic round-2 protocol — one 800-iter training run, then
 the SAME trained params evaluated under each variant at the fast preset's
 post_nms=64 budget on a 512-image held-out val set (24-shot cache,
-eval-batch 32), quantized variants calibrated on 8 val canvases.
+eval-batch 32), quantized variants calibrated on 8 val canvases. The
+support cache is encoded ONCE at f32 (the realistic deployment: supports
+precomputed offline; quantization applies to the query stream).
+ABL_ROWS=tag1,tag2 filters the variant list (training is seed-pinned, so
+split runs reproduce the same model).
 
 CPU-RUNNABLE (self-pins CPU under JAX_PLATFORMS=cpu; ~1.5-2.5 h on the
 1-core box — run in background, write /tmp/pytest.pid so the relay
@@ -94,16 +98,31 @@ def main():
         ("budget512", base.replace(
             static=dataclasses.replace(base.static, nms_budget_test=512))),
     ]
+    rows = _os.environ.get("ABL_ROWS")
+    if rows:
+        keep = set(rows.split(","))
+        variants = [(t, c) for t, c in variants if t in keep]
+
+    from faster_orefsdet_tpu.pipelines.inference import make_detector
+
     results = {}
     for tag, ecfg in variants:
         scales = None
+        # the MODEL must be rebuilt from the variant cfg: a flax module
+        # holds its construction-time cfg, so passing the float-built
+        # run.model would silently evaluate the float backbone for the
+        # quantized rows (caught live in round 5 — the first run produced
+        # bit-identical AP for all quantize variants for exactly this
+        # reason; params trees are identical so the rebuild is free)
+        emodel = make_detector(ecfg) if getattr(ecfg, "quantize", "none") != "none" else run.model
         if getattr(ecfg, "quantize", "none") != "none":
             t0 = time.time()
-            scales = calibrate_act_scales(ecfg, run.state.params, calib)
+            scales = calibrate_act_scales(ecfg, run.state.params, calib,
+                                          model=emodel)
             print(f"[{tag}] {len(scales)} scales in {time.time()-t0:.0f}s",
                   flush=True)
         t0 = time.time()
-        res = evaluate(run.model, run.state.params, cache, val_records, ecfg,
+        res = evaluate(emodel, run.state.params, cache, val_records, ecfg,
                        batch_stats=run.state.batch_stats, batch_size=32,
                        act_scales=scales)
         ap = {k: round(v, 3) for k, v in res.items() if k.startswith("AP")}
@@ -111,9 +130,10 @@ def main():
         print(f"[{tag}] {ap} ({time.time()-t0:.0f}s)", flush=True)
 
     print("\n==== summary (AP, post_nms=64, 24-shot, f32 host compute) ====")
+    base_ap = results.get("float")
     for tag, ap in results.items():
-        print(f"{tag:14s} AP {ap:.2f}  (delta vs float: {ap-results['float']:+.2f})",
-              flush=True)
+        delta = f"  (delta vs float: {ap-base_ap:+.2f})" if base_ap is not None else ""
+        print(f"{tag:14s} AP {ap:.2f}{delta}", flush=True)
 
 
 if __name__ == "__main__":

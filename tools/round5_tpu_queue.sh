@@ -63,6 +63,9 @@ if [ "$FASTOK" = 1 ]; then
   # round-5 int8-RESIDENT whole-path serving row (the byte-reduction arm;
   # preset derives from the fast preset, so it shares the Pallas-NMS gate)
   run resident_serv 3600 python tools/serving_profile.py 128 10 bf16 --preset serving_vovnet_int8_resident
+  # round-5 TURBO preset (halved decode budgets, AP-neutral on the CPU
+  # protocol — logs_r5/resident_ap_full_run1*.log): the decode+NMS lever
+  run turbo_serv 3600 python tools/serving_profile.py 128 10 bf16 --preset serving_vovnet_turbo
 else
   run bench 3600 env BENCH_FAST=0 python bench.py
 fi
