@@ -57,6 +57,12 @@ def parse_args():
         "weights program + overlapped result readbacks (the reference "
         "demo's parallel=True AsyncPredictor, predictor.py:150-238)",
     )
+    p.add_argument(
+        "--calib-glob",
+        help="calibration images for the int8_static/int8_resident presets "
+        "(<=8 used; defaults to the first --input glob images; REQUIRED for "
+        "quantized video/webcam runs — streams cannot self-calibrate)",
+    )
     p.add_argument("--output", default="results")
     p.add_argument("--params", help=".npz params (random init if omitted)")
     p.add_argument("--support-index", required=True)
@@ -134,7 +140,54 @@ def main():
     cache = encode_support_set(model, params, entries, cfg)
     print(f"support cache built in {time.perf_counter() - t0:.2f}s")
 
-    infer = build_inference_fn(cfg, model)
+    act_scales = None
+    if getattr(cfg, "quantize", "none") in ("int8_static", "int8_resident"):
+        # static-calibrated presets: measure activation scales once on a
+        # handful of in-domain images (pipelines.quant_calib), then every
+        # builder below bakes them into its program
+        src = sorted(glob.glob(args.calib_glob)) if args.calib_glob else (
+            sorted(glob.glob(args.input)) if args.input else []
+        )
+        if not src:
+            raise SystemExit(
+                f"--config {args.config} (quantize={cfg.quantize}) needs "
+                "calibration images: pass --calib-glob 'imgs/*.png' "
+                "(video/webcam streams cannot self-calibrate)"
+            )
+        sized = []
+        for pth in src[:8]:
+            img = cv2.imread(pth)
+            if img is None:
+                continue
+            rh, rw = resize_shortest_edge_size(
+                img.shape[0], img.shape[1],
+                cfg.input.min_size_test, cfg.input.max_size_test,
+            )
+            sized.append((img, rh, rw))
+        if not sized:
+            raise SystemExit("no readable calibration images")
+        dvs = cfg.input.size_divisibility
+        chw = (
+            max(-(-rh // dvs) * dvs for _, rh, _ in sized),
+            max(-(-rw // dvs) * dvs for _, _, rw in sized),
+        )
+        canvases = [
+            preprocess_host(
+                img, cfg.input.min_size_test, cfg.input.max_size_test, chw,
+                cfg.input.pixel_mean, cfg.input.pixel_std,
+            )[0]
+            for img, _, _ in sized
+        ]
+        from ..pipelines.quant_calib import calibrate_act_scales
+
+        t0 = time.perf_counter()
+        act_scales = calibrate_act_scales(
+            cfg, params, jnp.asarray(np.stack(canvases)), model=model
+        )
+        print(f"calibrated {len(act_scales)} activation scales "
+              f"({len(sized)} images) in {time.perf_counter() - t0:.2f}s")
+
+    infer = build_inference_fn(cfg, model, act_scales=act_scales)
 
     def detect_frame(img):
         """BGR frame → (boxes, scores, preprocessed canvas, resized hw)."""
@@ -196,7 +249,8 @@ def main():
 
                 mesh = make_mesh(args.num_devices)
                 serve, _ = make_sharded_serving(
-                    cfg, (h, w), mesh, params, cache, model=model
+                    cfg, (h, w), mesh, params, cache, model=model,
+                    act_scales=act_scales,
                 )
 
                 def sfn_call(frames):
@@ -204,7 +258,8 @@ def main():
             else:
                 from ..pipelines.inference import build_serving_fn
 
-                sfn, _ = build_serving_fn(cfg, (h, w), model)
+                sfn, _ = build_serving_fn(cfg, (h, w), model,
+                                          act_scales=act_scales)
 
                 def sfn_call(frames):
                     return sfn(params, cache, jnp.asarray(np.stack(frames)))
@@ -265,7 +320,7 @@ def main():
 
             pending = []
             pred = AsyncPredictor(cfg, params, cache, model, depth=8,
-                                  readback_workers=8)
+                                  readback_workers=8, act_scales=act_scales)
             t0 = time.perf_counter()
             for out in pred.run(frames_iter()):
                 frame = pending.pop(0)
@@ -321,7 +376,7 @@ def main():
                 yield img
 
         pred = AsyncPredictor(cfg, params, cache, model, depth=8,
-                              readback_workers=8)
+                              readback_workers=8, act_scales=act_scales)
         t0 = time.perf_counter()
         n_done = 0
         for out in pred.run(images_iter()):

@@ -44,6 +44,7 @@ class AsyncPredictor:
         depth: int = 3,
         canvas_hw: Optional[Tuple[int, int]] = None,
         readback_workers: int = 0,
+        act_scales=None,
     ):
         self.cfg = cfg
         # Weights are PINNED into the program at construction (underscored:
@@ -54,7 +55,7 @@ class AsyncPredictor:
         # packed=True: one [K,7] result array = ONE host readback per image
         # (a Detections pytree costs one relay round-trip per leaf).
         self._pinned = build_pinned_inference_fn(
-            cfg, params, cache, model=model, packed=True
+            cfg, params, cache, model=model, packed=True, act_scales=act_scales
         )
         self.depth = depth
         self.canvas_hw = canvas_hw

@@ -81,8 +81,31 @@ def evaluate(
     Identical detections to batch-1 (the query path is per-image pure).
 
     act_scales: calibrated static int8 activation scales
-    (pipelines.quant_calib) — required when cfg.quantize == "int8_static"."""
+    (pipelines.quant_calib). If omitted under a static-quantized config
+    (int8_static / int8_resident), scales are auto-calibrated from the
+    first <=8 eval canvases — so `cli.train --eval-only` works on the
+    quantized presets out of the box."""
     canvas_hw = canvas_hw or eval_canvas(records, cfg)
+    if act_scales is None and getattr(cfg, "quantize", "none") in (
+        "int8_static",
+        "int8_resident",
+    ):
+        from ..pipelines.quant_calib import calibrate_act_scales
+
+        calib = [
+            np.asarray(canvas)
+            for _rec, canvas, _hw, _scale in eval_loader(
+                records[: min(8, len(records))], cfg, canvas_hw
+            )
+        ]
+        t0 = time.perf_counter()
+        act_scales = calibrate_act_scales(
+            cfg, params, jnp.asarray(np.stack(calib)), batch_stats, model=model
+        )
+        print(
+            f"auto-calibrated {len(act_scales)} activation scales "
+            f"({len(calib)} eval images) in {time.perf_counter() - t0:.2f}s"
+        )
     evaluator = COCOEvaluator()
     compute_times: List[float] = []
 

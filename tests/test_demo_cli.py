@@ -282,3 +282,61 @@ def test_demo_cli_num_devices_requires_dp_video(monkeypatch):
     monkeypatch.setattr(sys, "argv", argv)
     with pytest.raises(SystemExit, match="DP video serving"):
         main()
+
+
+@pytest.mark.slow
+def test_demo_cli_quantized_preset_autocalib(tmp_path, monkeypatch):
+    """The int8_resident preset is demo-reachable (round 5): the CLI
+    auto-calibrates activation scales from the input glob and threads them
+    into the inference builder."""
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    records, entries = make_synthetic_setup(str(tmp_path / "data"), num_images=3,
+                                            seed=0, crop_size=96)
+    idx = str(tmp_path / "support_index.json")
+    save_support_index(idx, entries)
+    out = str(tmp_path / "out")
+    pattern = os.path.join(os.path.dirname(records[0].file_name), "*.jpg")
+
+    argv = [
+        "demo", "--input", pattern, "--output", out,
+        "--support-index", idx, "--confidence", "0.0",
+        "--config", "serving_vovnet_int8_resident",
+        # tiny static shapes + CPU-friendly knobs
+        "compute_dtype=float32",
+        "centernet.pre_nms_topk_test=64", "centernet.post_nms_topk_test=16",
+        "centernet.use_pallas_nms=false", "roi.use_pallas_nms=false",
+        "use_pallas_cgm=false",
+        "roi.detections_per_image=8",
+        "input.min_size_test=96", "input.max_size_test=160",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    main()
+    rendered = [os.path.join(out, os.path.basename(r.file_name)) for r in records]
+    assert all(os.path.exists(p) for p in rendered), rendered
+
+
+def test_demo_cli_quantized_video_requires_calib_glob(tmp_path, monkeypatch):
+    """Quantized video runs must demand --calib-glob instead of crashing in
+    the builder with a missing-scales error."""
+    from faster_orefsdet_tpu.data.coco import save_support_index
+    from faster_orefsdet_tpu.data.synthetic import make_synthetic_setup
+
+    _, entries = make_synthetic_setup(str(tmp_path / "d"), num_images=2,
+                                      seed=0, crop_size=96)
+    idx = str(tmp_path / "i.json")
+    save_support_index(idx, entries)
+    argv = [
+        "demo", "--video-input", "c.avi", "--output", str(tmp_path / "o"),
+        "--support-index", idx, "--config", "serving_vovnet_int8_static",
+        "fs.support_shot=2", "fs.support_crop_size=96",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from faster_orefsdet_tpu.cli.demo import main
+
+    with pytest.raises(SystemExit, match="calib-glob"):
+        main()

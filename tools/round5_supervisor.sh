@@ -6,7 +6,7 @@ set -u
 cd /root/repo
 LOG=logs_r5
 mkdir -p $LOG
-DEADLINE=${DEADLINE:-1787106000}
+DEADLINE=${DEADLINE:-1787107800}
 echo $$ > /tmp/r5_supervisor.pid
 
 while true; do
