@@ -6,7 +6,10 @@ set -u
 cd /root/repo
 LOG=logs_r5
 mkdir -p $LOG
-DEADLINE=${DEADLINE:-1787107800}
+DEADLINE=${DEADLINE:-1787143500}
+export DEADLINE   # the queue script must see the SAME deadline (a prior
+                  # launch lost the env prefix and the queue defaulted to a
+                  # stale, already-past deadline)
 echo $$ > /tmp/r5_supervisor.pid
 
 while true; do

@@ -19,7 +19,7 @@ set -u
 cd /root/repo
 LOG=logs_r5
 mkdir -p $LOG
-DEADLINE=${DEADLINE:-1787107800}
+DEADLINE=${DEADLINE:-1787143500}
 
 note() { echo "[queue] $* $(date -u +%FT%TZ)" | tee -a $LOG/queue.log; }
 
