@@ -97,6 +97,12 @@ def main():
             centernet=dataclasses.replace(base.centernet, pre_nms_topk_test=256))),
         ("budget512", base.replace(
             static=dataclasses.replace(base.static, nms_budget_test=512))),
+        # the TURBO preset's COMBINED budgets (prenms256 + budget512) —
+        # the individual rows being neutral does not logically imply the
+        # combination is; this row decides it on the same trained model
+        ("turbo", base.replace(
+            centernet=dataclasses.replace(base.centernet, pre_nms_topk_test=256),
+            static=dataclasses.replace(base.static, nms_budget_test=512))),
     ]
     rows = _os.environ.get("ABL_ROWS")
     if rows:
@@ -132,8 +138,8 @@ def main():
     print("\n==== summary (AP, post_nms=64, 24-shot, f32 host compute) ====")
     base_ap = results.get("float")
     for tag, ap in results.items():
-        delta = f"  (delta vs float: {ap-base_ap:+.2f})" if base_ap is not None else ""
-        print(f"{tag:14s} AP {ap:.2f}{delta}", flush=True)
+        delta = f"  (delta vs float: {ap-base_ap:+.3f})" if base_ap is not None else ""
+        print(f"{tag:14s} AP {ap:.3f}{delta}", flush=True)
 
 
 if __name__ == "__main__":
